@@ -1,0 +1,24 @@
+"""svtyper-tpu — a TPU-native structural-variant genotyping framework.
+
+A from-scratch re-design of the capabilities of ``hall-lab/svtyper``
+(Chiang et al., Nat Methods 2015) for TPU hardware:
+
+- ``bamio``     BAM/BGZF/BAI decoding to columnar numpy batches (C++ core
+                with a pure-Python fallback) — replaces pysam/htslib.
+- ``vcfio``     VCF object model + byte-exact writer (parity surface of
+                ``svtyper/parsers.py::Vcf/Variant/Genotype``).
+- ``stats``     per-library insert-size models + ``-l`` JSON cache
+                (parity surface of ``parsers.py::Sample/Library``).
+- ``evidence``  vectorized fragment/split/clip feature extraction into
+                dense per-variant tensors (replaces the per-read Python
+                loop of ``classic.py::sv_genotype``).
+- ``models``    the Bayesian genotype model (``classic.py::bayes_gt``).
+- ``ops``       JAX/Pallas kernels (log-binomial GL, segment reductions).
+- ``gt``        the batched device genotyping engine.
+- ``parallel``  device-mesh sharding + multi-host orchestration.
+- ``cli``       drop-in ``svtyper`` / ``svtyper-sso`` command lines.
+- ``oracle``    pure-Python float64 reference implementation (the parity
+                baseline; see SPEC.md).
+"""
+
+from svtyper_tpu.version import __version__  # noqa: F401

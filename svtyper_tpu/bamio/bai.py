@@ -1,0 +1,210 @@
+"""BAI index: reader, region query, and builder.
+
+Replaces htslib's BAI machinery behind ``pysam.AlignmentFile.fetch``
+(reference L0, SURVEY.md §1). Standard UCSC 5-level binning over [0,2^29)
+plus a 16 KiB-window linear index; per-reference pseudo-bin 37450 carries
+(off_beg, off_end, n_mapped, n_unmapped) with htslib ``idxstats``
+semantics (SPEC.md §7).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Tuple
+
+PSEUDO_BIN = 37450
+_LIN_SHIFT = 14
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest bin containing [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """All bins overlapping [beg, end)."""
+    end -= 1
+    bins = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+class RefIndex:
+    __slots__ = ("bins", "ioffsets", "mapped", "unmapped")
+
+    def __init__(self) -> None:
+        self.bins: Dict[int, List[Tuple[int, int]]] = {}
+        self.ioffsets: List[int] = []
+        self.mapped = 0
+        self.unmapped = 0
+
+
+class BaiIndex:
+    def __init__(self, refs: List[RefIndex], n_no_coor: int = 0) -> None:
+        self.refs = refs
+        self.n_no_coor = n_no_coor
+
+    @classmethod
+    def load(cls, path: str) -> "BaiIndex":
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        if buf[:4] != b"BAI\x01":
+            raise ValueError("not a BAI file: %s" % path)
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", buf, off)
+        off += 4
+        refs: List[RefIndex] = []
+        for _ in range(n_ref):
+            ri = RefIndex()
+            (n_bin,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", buf, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", buf, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                if bin_id == PSEUDO_BIN and len(chunks) == 2:
+                    ri.mapped, ri.unmapped = chunks[1]
+                else:
+                    ri.bins[bin_id] = chunks
+            (n_intv,) = struct.unpack_from("<i", buf, off)
+            off += 4
+            ri.ioffsets = list(
+                struct.unpack_from("<%dQ" % n_intv, buf, off)
+            )
+            off += 8 * n_intv
+            refs.append(ri)
+        n_no_coor = 0
+        if off + 8 <= len(buf):
+            (n_no_coor,) = struct.unpack_from("<Q", buf, off)
+        return cls(refs, n_no_coor)
+
+    def query(self, tid: int, beg: int, end: int) -> List[Tuple[int, int]]:
+        """Merged, sorted virtual-offset chunks that may contain reads
+        overlapping [beg, end) on tid."""
+        if tid < 0 or tid >= len(self.refs):
+            return []
+        ri = self.refs[tid]
+        min_off = 0
+        w = beg >> _LIN_SHIFT
+        if ri.ioffsets:
+            w = min(w, len(ri.ioffsets) - 1)
+            min_off = ri.ioffsets[w]
+        chunks: List[Tuple[int, int]] = []
+        for b in reg2bins(beg, end):
+            for cb, ce in ri.bins.get(b, ()):
+                if ce > min_off:
+                    chunks.append((max(cb, min_off), ce))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for cb, ce in chunks:
+            if merged and cb <= merged[-1][1]:
+                if ce > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], ce)
+            else:
+                merged.append((cb, ce))
+        return merged
+
+    def idxstats(self) -> List[Tuple[int, int]]:
+        """(mapped, unmapped) per reference (SPEC.md §7 mapped counts)."""
+        return [(r.mapped, r.unmapped) for r in self.refs]
+
+    def save(self, path: str) -> None:
+        out = bytearray(b"BAI\x01")
+        out += struct.pack("<i", len(self.refs))
+        for ri in self.refs:
+            bins = dict(ri.bins)
+            n_bin = len(bins) + (1 if (ri.mapped or ri.unmapped or bins) else 0)
+            out += struct.pack("<i", n_bin)
+            for bin_id in sorted(bins):
+                chunks = bins[bin_id]
+                out += struct.pack("<Ii", bin_id, len(chunks))
+                for cb, ce in chunks:
+                    out += struct.pack("<QQ", cb, ce)
+            if n_bin > len(bins):
+                off_beg = min((c[0] for cs in bins.values() for c in cs), default=0)
+                off_end = max((c[1] for cs in bins.values() for c in cs), default=0)
+                out += struct.pack("<Ii", PSEUDO_BIN, 2)
+                out += struct.pack("<QQ", off_beg, off_end)
+                out += struct.pack("<QQ", ri.mapped, ri.unmapped)
+            out += struct.pack("<i", len(ri.ioffsets))
+            out += struct.pack("<%dQ" % len(ri.ioffsets), *ri.ioffsets)
+        out += struct.pack("<Q", self.n_no_coor)
+        with open(path, "wb") as fh:
+            fh.write(out)
+
+
+class BaiBuilder:
+    """Accumulates (tid, pos, ref_end, voff_start, voff_end) per record in
+    file order and emits a :class:`BaiIndex`."""
+
+    def __init__(self, n_ref: int) -> None:
+        self.refs = [RefIndex() for _ in range(n_ref)]
+        self._lin: List[Dict[int, int]] = [dict() for _ in range(n_ref)]
+        self.n_no_coor = 0
+        self._last: Tuple[int, int] = (-1, -1)
+
+    def add(
+        self,
+        tid: int,
+        pos: int,
+        ref_end: int,
+        vo_beg: int,
+        vo_end: int,
+        is_mapped: bool,
+    ) -> None:
+        if tid < 0:
+            self.n_no_coor += 1
+            return
+        # readers early-stop on sorted order; an unsorted index would
+        # silently drop reads, so fail loudly here
+        if (tid, pos) < self._last:
+            raise ValueError(
+                "records not in coordinate order: (%d,%d) after (%d,%d)"
+                % (tid, pos, *self._last)
+            )
+        self._last = (tid, pos)
+        ri = self.refs[tid]
+        if is_mapped:
+            ri.mapped += 1
+        else:
+            ri.unmapped += 1
+            ref_end = max(ref_end, pos + 1)
+        b = reg2bin(pos, max(ref_end, pos + 1))
+        chunks = ri.bins.setdefault(b, [])
+        if chunks and vo_beg <= chunks[-1][1]:
+            chunks[-1] = (chunks[-1][0], max(chunks[-1][1], vo_end))
+        else:
+            chunks.append((vo_beg, vo_end))
+        lin = self._lin[tid]
+        for w in range(pos >> _LIN_SHIFT, (max(ref_end, pos + 1) - 1 >> _LIN_SHIFT) + 1):
+            if w not in lin or vo_beg < lin[w]:
+                lin[w] = vo_beg
+
+    def finish(self) -> BaiIndex:
+        for tid, ri in enumerate(self.refs):
+            lin = self._lin[tid]
+            if lin:
+                n = max(lin) + 1
+                ioff = []
+                prev = 0
+                for w in range(n):
+                    prev = lin.get(w, prev)
+                    ioff.append(prev)
+                ri.ioffsets = ioff
+        return BaiIndex(self.refs, self.n_no_coor)

@@ -1,0 +1,147 @@
+"""BamFile: the fetch/scan front-end over BGZF + BAI.
+
+The parity surface of ``pysam.AlignmentFile`` as used by the reference
+(SURVEY.md §1 L0): ``fetch(chrom, start, end)`` (here returning a columnar
+:class:`ReadBatch`), sequential head-scan for library bootstrap
+(``Sample.from_bam``, SURVEY.md §3.4), and ``idxstats``-style mapped/
+unmapped counts. Chooses the C++ core when built, else the pure-Python
+decoder.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import struct
+from typing import Dict, List, Optional, Tuple
+
+from svtyper_tpu.bamio.bai import BaiIndex
+from svtyper_tpu.bamio.bgzf import BgzfReader, VirtualStream
+from svtyper_tpu.bamio.columns import ReadBatch
+from svtyper_tpu.bamio.records import decode_stream
+
+
+class BamHeader:
+    def __init__(self, text: str, refs: List[Tuple[str, int]]) -> None:
+        self.text = text
+        self.refs = refs
+        self.ref_names = [n for n, _ in refs]
+        self.ref_lengths = {n: l for n, l in refs}
+        self.name_to_tid = {n: i for i, n in enumerate(self.ref_names)}
+        # @RG lines → id, sample (SM), library (LB)
+        self.read_groups: List[Dict[str, str]] = []
+        for line in text.splitlines():
+            if line.startswith("@RG"):
+                rg = dict(
+                    f.split(":", 1) for f in line.split("\t")[1:] if ":" in f
+                )
+                self.read_groups.append(rg)
+
+    @property
+    def sample_name(self) -> Optional[str]:
+        for rg in self.read_groups:
+            if "SM" in rg:
+                return rg["SM"]
+        return None
+
+
+class BamFile:
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._reader = BgzfReader(path)
+        vs = VirtualStream(self._reader)
+        magic = vs.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError("not a BAM file: %s" % path)
+        (l_text,) = struct.unpack("<i", vs.read(4))
+        text = vs.read(l_text).split(b"\x00", 1)[0].decode()
+        (n_ref,) = struct.unpack("<i", vs.read(4))
+        refs: List[Tuple[str, int]] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", vs.read(4))
+            name = vs.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", vs.read(4))
+            refs.append((name, l_ref))
+        self.header = BamHeader(text, refs)
+        self._body_voffset = vs.voffset
+        # RG id → dense index (ReadBatch.lib_id holds this at decode time;
+        # svtyper_tpu.stats remaps it to a library index per Sample)
+        self.rg_index: Dict[bytes, int] = {
+            rg.get("ID", "").encode(): i
+            for i, rg in enumerate(self.header.read_groups)
+        }
+        self._bai: Optional[BaiIndex] = None
+
+    # -- index ------------------------------------------------------------
+    @property
+    def bai(self) -> BaiIndex:
+        if self._bai is None:
+            for cand in (self.path + ".bai", re.sub(r"\.bam$", ".bai", self.path)):
+                if os.path.exists(cand):
+                    self._bai = BaiIndex.load(cand)
+                    break
+            else:
+                raise FileNotFoundError("no .bai index for %s" % self.path)
+        return self._bai
+
+    def idxstats(self) -> List[Tuple[str, int, int, int]]:
+        return [
+            (name, length, m, u)
+            for (name, length), (m, u) in zip(self.header.refs, self.bai.idxstats())
+        ]
+
+    def mapped_unmapped(self) -> Tuple[int, int]:
+        stats = self.bai.idxstats()
+        return (
+            sum(m for m, _ in stats),
+            sum(u for _, u in stats) + self.bai.n_no_coor,
+        )
+
+    # -- fetch ---------------------------------------------------------------
+    def fetch(self, chrom: str, start: int, end: int) -> ReadBatch:
+        """All mapped reads overlapping [start, end) on chrom, decoded to
+        columns. 0-based half-open, like pysam."""
+        tid = self.header.name_to_tid.get(chrom)
+        if tid is None:
+            return ReadBatch(0)
+        start = max(0, start)
+        end = min(end, self.header.refs[tid][1])
+        if end <= start:
+            return ReadBatch(0)
+        batches = []
+        for cb, ce in self.bai.query(tid, start, end):
+            vs = VirtualStream(self._reader, cb)
+            batch, _ = decode_stream(
+                vs,
+                self.header.ref_names,
+                self.rg_index,
+                stop_voffset=ce,
+                region=(tid, start, end),
+            )
+            batches.append(batch)
+        return ReadBatch.concat(batches)
+
+    def head(self, max_records: int, keep_unmapped: bool = True) -> ReadBatch:
+        """First ``max_records`` records in file order (library bootstrap)."""
+        vs = VirtualStream(self._reader, self._body_voffset)
+        batch, _ = decode_stream(
+            vs,
+            self.header.ref_names,
+            self.rg_index,
+            max_records=max_records,
+            keep_unmapped=keep_unmapped,
+        )
+        return batch
+
+    def raw_records(self, voffsets: List[int]) -> List[bytes]:
+        """Raw record bytes at the given virtual offsets (for ``-w``)."""
+        out = []
+        for vo in voffsets:
+            vs = VirtualStream(self._reader, vo)
+            (size,) = struct.unpack("<i", vs.read(4))
+            out.append(vs.read(size))
+        return out
+
+
+def open_bam(path: str) -> BamFile:
+    return BamFile(path)

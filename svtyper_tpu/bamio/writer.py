@@ -1,0 +1,152 @@
+"""BAM writer + on-the-fly BAI builder.
+
+Used to synthesize test/bench fixtures (SURVEY.md §4 test plan: "synthesize
+BAMs: known BGZF blocks, CIGARs, SA tags, BAI") and to implement the
+``-w/--write_alignment`` evidence dump (``classic.py::write_alignment``
+parity, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from svtyper_tpu.bamio.bai import BaiBuilder
+from svtyper_tpu.bamio.bgzf import BgzfWriter
+from svtyper_tpu.bamio.cigar import CigarFeatures
+from svtyper_tpu.bamio.columns import FUNMAP
+
+_SEQ_CODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+def encode_record(
+    qname: str,
+    flag: int,
+    tid: int,
+    pos: int,
+    mapq: int,
+    cigar: Sequence[Tuple[int, int]],
+    mate_tid: int,
+    mate_pos: int,
+    tlen: int,
+    seq: str = "",
+    qual: Optional[bytes] = None,
+    tags: Optional[Dict[str, Tuple[str, object]]] = None,
+) -> bytes:
+    """Encode one alignment record (without the leading block_size)."""
+    name = qname.encode() + b"\x00"
+    n_cig = len(cigar)
+    l_seq = len(seq)
+    feats = CigarFeatures(pos, cigar)
+    bin_ = _reg2bin_for(pos, feats.ref_end) if pos >= 0 else 4680
+    body = bytearray()
+    body += struct.pack(
+        "<iiBBHHHIiii",
+        tid, pos, len(name), mapq, bin_, n_cig, flag, l_seq,
+        mate_tid, mate_pos, tlen,
+    )
+    body += name
+    for op, ln in cigar:
+        body += struct.pack("<I", (ln << 4) | op)
+    packed = bytearray((l_seq + 1) // 2)
+    for i, c in enumerate(seq):
+        code = _SEQ_CODE.get(c.upper(), 15)
+        if i % 2 == 0:
+            packed[i // 2] = code << 4
+        else:
+            packed[i // 2] |= code
+    body += packed
+    body += qual if qual is not None else b"\xff" * l_seq
+    for tag, (typ, val) in (tags or {}).items():
+        body += tag.encode() + typ.encode()
+        if typ == "Z":
+            body += str(val).encode() + b"\x00"
+        elif typ == "i":
+            body += struct.pack("<i", int(val))
+        elif typ == "A":
+            body += str(val).encode()[:1]
+        elif typ == "f":
+            body += struct.pack("<f", float(val))
+        else:
+            raise ValueError("unsupported tag type %r" % typ)
+    return bytes(body)
+
+
+def _reg2bin_for(pos: int, ref_end: int) -> int:
+    from svtyper_tpu.bamio.bai import reg2bin
+
+    return reg2bin(pos, max(ref_end, pos + 1))
+
+
+class BamWriter:
+    """Coordinate-order BAM writer producing ``.bam`` + ``.bam.bai``."""
+
+    def __init__(
+        self,
+        path: str,
+        refs: Sequence[Tuple[str, int]],
+        header_text: str = "",
+    ) -> None:
+        self.path = path
+        self.refs = list(refs)
+        self._fh = open(path, "wb")
+        self._w = BgzfWriter(self._fh)
+        self._bai = BaiBuilder(len(self.refs))
+        hdr = bytearray(b"BAM\x01")
+        text = header_text.encode()
+        hdr += struct.pack("<i", len(text)) + text
+        hdr += struct.pack("<i", len(self.refs))
+        for name, length in self.refs:
+            nb = name.encode() + b"\x00"
+            hdr += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+        self._w.write(bytes(hdr))
+        # index chunks must not straddle the header block
+        self._w.flush()
+
+    def write_record(self, record: bytes, tid: int, pos: int, ref_end: int, flag: int) -> None:
+        vo_beg = self._w.tell_voffset()
+        self._w.write(struct.pack("<i", len(record)) + record)
+        vo_end = self._w.tell_voffset()
+        self._bai.add(tid, pos, ref_end, vo_beg, vo_end, not (flag & FUNMAP))
+
+    def write(
+        self,
+        qname: str,
+        flag: int,
+        tid: int,
+        pos: int,
+        mapq: int,
+        cigar: Sequence[Tuple[int, int]],
+        mate_tid: int = -1,
+        mate_pos: int = -1,
+        tlen: int = 0,
+        seq: str = "",
+        qual: Optional[bytes] = None,
+        tags: Optional[Dict[str, Tuple[str, object]]] = None,
+    ) -> None:
+        rec = encode_record(
+            qname, flag, tid, pos, mapq, cigar,
+            mate_tid, mate_pos, tlen, seq, qual, tags,
+        )
+        feats = CigarFeatures(pos, cigar)
+        self.write_record(rec, tid, pos, feats.ref_end, flag)
+
+    def close(self, write_index: bool = True) -> None:
+        self._w.close()
+        self._fh.close()
+        if write_index:
+            self._bai.finish().save(self.path + ".bai")
+
+
+def make_header_text(
+    refs: Sequence[Tuple[str, int]],
+    read_groups: Sequence[Dict[str, str]] = (),
+    sort_order: str = "coordinate",
+) -> str:
+    lines = ["@HD\tVN:1.6\tSO:%s" % sort_order]
+    for name, length in refs:
+        lines.append("@SQ\tSN:%s\tLN:%d" % (name, length))
+    for rg in read_groups:
+        parts = ["@RG"] + ["%s:%s" % (k, v) for k, v in rg.items()]
+        lines.append("\t".join(parts))
+    return "\n".join(lines) + "\n"

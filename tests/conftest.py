@@ -1,0 +1,22 @@
+"""Test configuration.
+
+Tests run JAX on CPU with 8 virtual devices so that multi-chip sharding
+(`svtyper_tpu/parallel`) is exercised without TPU hardware (SURVEY.md §4.3),
+and with x64 enabled so device math can be checked against the float64
+oracle bit-for-bit.
+
+Must run before `import jax` anywhere in the test process.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
