@@ -1,0 +1,349 @@
+"""SV read simulator — golden-test and bench fixture generator.
+
+The reference repo ships real NA12878 data (`data/NA12878.target_loci.
+sorted.bam`, SURVEY.md §2.1) which is unavailable here (empty mount,
+SURVEY.md §0), so the test strategy (SURVEY.md §4) synthesizes its own:
+diploid haplotypes are built per event (DEL/DUP/INV/BND), fragments are
+sampled from a Gaussian insert model, and each read is mapped back to
+reference coordinates base-by-base — split reads, SA tags, and soft
+clips arise naturally from junction crossings.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from svtyper_tpu.bamio.cigar import M as OP_M, S as OP_S
+from svtyper_tpu.bamio.columns import (
+    FMREVERSE,
+    FMUNMAP,
+    FPAIRED,
+    FPROPER,
+    FREAD1,
+    FREAD2,
+    FREVERSE,
+)
+from svtyper_tpu.bamio.writer import BamWriter, make_header_text
+
+MIN_SA_PIECE = 20  # shorter secondary pieces become bare soft clips
+
+
+class SimConfig:
+    def __init__(
+        self,
+        read_len: int = 150,
+        insert_mean: float = 350.0,
+        insert_sd: float = 40.0,
+        depth: float = 30.0,
+        mapq_choices: Sequence[int] = (60, 60, 60, 40, 27),
+        sample_name: str = "NA12878",
+        library_name: str = "lib1",
+    ) -> None:
+        self.read_len = read_len
+        self.insert_mean = insert_mean
+        self.insert_sd = insert_sd
+        self.depth = depth
+        self.mapq_choices = list(mapq_choices)
+        self.sample_name = sample_name
+        self.library_name = library_name
+
+    @property
+    def window(self) -> int:
+        return int(self.insert_mean + 4 * self.insert_sd) + self.read_len
+
+
+class Event:
+    """One SV to simulate. Positions are 1-based VCF POS/END."""
+
+    def __init__(
+        self,
+        svtype: str,
+        chrom: str,
+        pos: int,
+        end: int,
+        gt: str,
+        var_id: Optional[str] = None,
+        chrom2: Optional[str] = None,
+    ) -> None:
+        assert svtype in ("DEL", "DUP", "INV", "BND")
+        self.svtype = svtype
+        self.chrom = chrom
+        self.pos = pos
+        self.end = end
+        self.gt = gt
+        self.var_id = var_id or "%s_%d" % (svtype.lower(), pos)
+        self.chrom2 = chrom2 or chrom  # BND partner chromosome
+
+    def n_alt_haps(self) -> int:
+        return self.gt.count("1")
+
+
+def _hap_maps(
+    ev: Event, tid_of: Dict[str, int], cfg: SimConfig, is_alt: bool
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-base (tid, ref_pos, strand) arrays of the local haplotype."""
+    W = cfg.window
+    a0 = ev.pos - 1  # breakpoint A, 0-based
+    b0 = ev.end - 1
+    t1 = tid_of[ev.chrom]
+    t2 = tid_of[ev.chrom2]
+
+    def span(tid: int, lo: int, hi: int, rev: bool = False):
+        idx = np.arange(lo, hi, dtype=np.int64)
+        if rev:
+            idx = idx[::-1]
+        return (
+            np.full(len(idx), tid, dtype=np.int32),
+            idx,
+            np.full(len(idx), -1 if rev else 1, dtype=np.int8),
+        )
+
+    if not is_alt:
+        if ev.svtype == "BND":
+            segs = [span(t1, a0 - W, a0 + W), span(t2, b0 - W, b0 + W)]
+        else:
+            segs = [span(t1, a0 - W, b0 + W + 1)]
+    elif ev.svtype == "DEL":
+        segs = [span(t1, a0 - W, a0 + 1), span(t1, b0 + 1, b0 + W + 1)]
+    elif ev.svtype == "DUP":
+        # tandem: ...→b0 | a0→b0 | b0+1→...
+        segs = [
+            span(t1, a0 - W, b0 + 1),
+            span(t1, a0, b0 + 1),
+            span(t1, b0 + 1, b0 + W + 1),
+        ]
+    elif ev.svtype == "INV":
+        segs = [
+            span(t1, a0 - W, a0 + 1),
+            span(t1, a0 + 1, b0 + 1, rev=True),
+            span(t1, b0 + 1, b0 + W + 1),
+        ]
+    else:  # BND, DEL-type junction chrA:a0 → chrB:b0
+        segs = [span(t1, a0 - W, a0 + 1), span(t2, b0, b0 + W)]
+    tids = np.concatenate([s[0] for s in segs])
+    poss = np.concatenate([s[1] for s in segs])
+    strs = np.concatenate([s[2] for s in segs])
+    return tids, poss, strs
+
+
+class _Rec:
+    __slots__ = ("qname", "flag", "tid", "pos", "mapq", "cigar", "mate_tid",
+                 "mate_pos", "tlen", "seq_len", "tags")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _pieces(tid: np.ndarray, ref: np.ndarray, strand: np.ndarray):
+    """Maximal runs of ±1-stepping ref positions with constant tid/strand."""
+    n = len(ref)
+    cut = np.flatnonzero(
+        (tid[1:] != tid[:-1])
+        | (strand[1:] != strand[:-1])
+        | (ref[1:] - ref[:-1] != strand[:-1])
+    )
+    starts = np.concatenate(([0], cut + 1))
+    ends = np.concatenate((cut + 1, [n]))
+    return list(zip(starts.tolist(), ends.tolist()))
+
+
+def _emit_read(
+    qname: str,
+    q_tid: np.ndarray,
+    q_ref: np.ndarray,
+    q_strand: np.ndarray,
+    mapq: int,
+    flag_base: int,
+    ref_names: List[str],
+    rg_id: str,
+) -> Optional[_Rec]:
+    """Build the primary record (+SA tag) for one read's per-base mapping."""
+    rl = len(q_ref)
+    pieces = _pieces(q_tid, q_ref, q_strand)
+    pieces.sort(key=lambda p: p[1] - p[0], reverse=True)
+    qs, qe = pieces[0]
+    plen = qe - qs
+
+    def rec_fields(qs: int, qe: int) -> Tuple[int, int, bool, List, str]:
+        fwd = q_strand[qs] > 0
+        if fwd:
+            pos = int(q_ref[qs])
+            lclip, rclip = qs, rl - qe
+        else:
+            pos = int(q_ref[qe - 1])
+            lclip, rclip = rl - qe, qs
+        cig = []
+        if lclip:
+            cig.append((OP_S, lclip))
+        cig.append((OP_M, qe - qs))
+        if rclip:
+            cig.append((OP_S, rclip))
+        cigstr = "".join(
+            "%d%s" % (ln, "MIDNSHP=X"[op]) for op, ln in cig
+        )
+        return pos, int(q_tid[qs]), fwd, cig, cigstr
+
+    pos, tid, fwd, cig, _ = rec_fields(qs, qe)
+    flag = flag_base | (0 if fwd else FREVERSE)
+    tags: Dict[str, Tuple[str, object]] = {"RG": ("Z", rg_id)}
+    if len(pieces) > 1:
+        sqs, sqe = pieces[1]
+        if sqe - sqs >= MIN_SA_PIECE:
+            spos, stid, sfwd, _, scig = rec_fields(sqs, sqe)
+            tags["SA"] = (
+                "Z",
+                "%s,%d,%s,%s,%d,0;"
+                % (ref_names[stid], spos + 1, "+" if sfwd else "-", scig, mapq),
+            )
+    return _Rec(
+        qname=qname, flag=flag, tid=tid, pos=pos, mapq=mapq, cigar=cig,
+        mate_tid=-1, mate_pos=-1, tlen=0, seq_len=rl, tags=tags,
+    )
+
+
+def simulate_events(
+    bam_path: str,
+    refs: List[Tuple[str, int]],
+    events: List[Event],
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    extra_background: int = 0,
+) -> None:
+    """Write a coordinate-sorted, indexed BAM covering all events."""
+    cfg = cfg or SimConfig()
+    rng = np.random.default_rng(seed)
+    tid_of = {name: i for i, (name, _) in enumerate(refs)}
+    ref_names = [name for name, _ in refs]
+    rl = cfg.read_len
+    recs: List[_Rec] = []
+
+    for ei, ev in enumerate(events):
+        n_alt = ev.n_alt_haps()
+        for hap in range(2):
+            is_alt = hap < n_alt
+            tids, poss, strs = _hap_maps(ev, tid_of, cfg, is_alt)
+            hap_len = len(tids)
+            n_frag = int(cfg.depth / 2 * hap_len / (2 * rl))
+            inserts = np.clip(
+                rng.normal(cfg.insert_mean, cfg.insert_sd, n_frag),
+                2 * rl + 2,
+                None,
+            ).astype(np.int64)
+            starts = rng.integers(0, np.maximum(hap_len - inserts, 1))
+            for fi in range(n_frag):
+                f, ins = int(starts[fi]), int(inserts[fi])
+                if f + ins > hap_len:
+                    continue
+                mapq = int(rng.choice(cfg.mapq_choices))
+                qname = "ev%d_h%d_f%d" % (ei, hap, fi)
+                # read1 forward on hap
+                sl1 = slice(f, f + rl)
+                # read2 = revcomp of hap tail: query base q ↦ hap f+ins-1-q
+                idx2 = np.arange(f + ins - 1, f + ins - 1 - rl, -1)
+                r1 = _emit_read(
+                    qname, tids[sl1], poss[sl1], strs[sl1], mapq,
+                    FPAIRED | FREAD1, ref_names, "rg0",
+                )
+                r2 = _emit_read(
+                    qname, tids[idx2], poss[idx2], -strs[idx2], mapq,
+                    FPAIRED | FREAD2, ref_names, "rg0",
+                )
+                if r1 is None or r2 is None:
+                    continue
+                for a, b in ((r1, r2), (r2, r1)):
+                    a.mate_tid = b.tid
+                    a.mate_pos = b.pos
+                    if b.flag & FREVERSE:
+                        a.flag |= FMREVERSE
+                lo = min(r1.pos, r2.pos)
+                hi = max(r1.pos + rl, r2.pos + rl)
+                if r1.tid == r2.tid:
+                    span = hi - lo
+                    r1.tlen = span if r1.pos <= r2.pos else -span
+                    r2.tlen = -r1.tlen
+                recs.extend((r1, r2))
+
+    # optional pure-background fragments (library-stats mass)
+    if extra_background:
+        tid0, ref_len = 0, refs[0][1]
+        inserts = np.clip(
+            rng.normal(cfg.insert_mean, cfg.insert_sd, extra_background),
+            2 * rl + 2, None,
+        ).astype(np.int64)
+        starts = rng.integers(0, max(ref_len - int(inserts.max()) - 1, 1),
+                              extra_background)
+        for i in range(extra_background):
+            f, ins = int(starts[i]), int(inserts[i])
+            mapq = int(rng.choice(cfg.mapq_choices))
+            q = "bg_f%d" % i
+            r1 = _Rec(qname=q, flag=FPAIRED | FREAD1 | FMREVERSE, tid=tid0,
+                      pos=f, mapq=mapq, cigar=[(OP_M, rl)], mate_tid=tid0,
+                      mate_pos=f + ins - rl, tlen=ins, seq_len=rl,
+                      tags={"RG": ("Z", "rg0")})
+            r2 = _Rec(qname=q, flag=FPAIRED | FREAD2 | FREVERSE, tid=tid0,
+                      pos=f + ins - rl, mapq=mapq, cigar=[(OP_M, rl)],
+                      mate_tid=tid0, mate_pos=f, tlen=-ins, seq_len=rl,
+                      tags={"RG": ("Z", "rg0")})
+            recs.extend((r1, r2))
+
+    recs.sort(key=lambda r: (r.tid, r.pos))
+    hdr = make_header_text(
+        refs,
+        read_groups=[
+            {"ID": "rg0", "SM": cfg.sample_name, "LB": cfg.library_name}
+        ],
+    )
+    w = BamWriter(bam_path, refs, hdr)
+    for r in recs:
+        w.write(
+            r.qname, r.flag, r.tid, r.pos, r.mapq, r.cigar,
+            mate_tid=r.mate_tid, mate_pos=r.mate_pos, tlen=r.tlen,
+            seq="A" * r.seq_len, tags=r.tags,
+        )
+    w.close()
+
+
+def events_to_vcf(events: List[Event], refs: List[Tuple[str, int]],
+                  sample: str = "NA12878") -> str:
+    """Minimal LUMPY-style VCF text for the simulated events."""
+    lines = [
+        "##fileformat=VCFv4.2",
+        "##source=svtyper_tpu.simulate",
+    ]
+    for name, ln in refs:
+        lines.append("##contig=<ID=%s,length=%d>" % (name, ln))
+    for k, n, t, d in (
+        ("SVTYPE", 1, "String", "Type of structural variant"),
+        ("END", 1, "Integer", "End position of the variant"),
+        ("CIPOS", 2, "Integer", "Confidence interval around POS"),
+        ("CIEND", 2, "Integer", "Confidence interval around END"),
+        ("MATEID", ".", "String", "ID of mate breakends"),
+        ("EVENT", 1, "String", "ID of event associated to breakend"),
+    ):
+        lines.append(
+            '##INFO=<ID=%s,Number=%s,Type=%s,Description="%s">' % (k, n, t, d)
+        )
+    lines.append(
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">'
+    )
+    lines.append(
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample
+    )
+    for ev in events:
+        if ev.svtype == "BND":
+            alt = "N[%s:%d[" % (ev.chrom2, ev.end)
+            info = "SVTYPE=BND;CIPOS=0,0;CIEND=0,0"
+        else:
+            alt = "<%s>" % ev.svtype
+            info = "SVTYPE=%s;END=%d;CIPOS=0,0;CIEND=0,0" % (ev.svtype, ev.end)
+        lines.append(
+            "\t".join(
+                (ev.chrom, str(ev.pos), ev.var_id, "N", alt, ".", ".",
+                 info, "GT", "./.")
+            )
+        )
+    return "\n".join(lines) + "\n"
