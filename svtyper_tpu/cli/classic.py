@@ -1,0 +1,232 @@
+"""The ``svtyper`` command line (parity of ``classic.py::main/sv_genotype``,
+SURVEY.md §2.2–2.3).
+
+Flag surface per SPEC.md/SURVEY §2.3; the engine is chunked-batched on
+device instead of the reference's serial per-variant loop, but the output
+contract (§2.4) is unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import IO, List, Optional
+
+from svtyper_tpu.bamio.bam import BamFile
+from svtyper_tpu.breakpoints import resolve_breakpoint
+from svtyper_tpu.output import add_format_headers, apply_variant
+from svtyper_tpu.stats import Sample
+from svtyper_tpu.vcfio.model import Variant, Vcf
+from svtyper_tpu.vcfio.reader import read_vcf_lines
+from svtyper_tpu.version import __version__
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(
+        prog="svtyper",
+        description="Compute genotype of structural variants based on breakpoint depth (TPU-native)",
+    )
+    p.add_argument("-i", "--input_vcf", default=None,
+                   help="VCF input (default: stdin)")
+    p.add_argument("-o", "--output_vcf", default=None,
+                   help="output VCF to write (default: stdout)")
+    p.add_argument("-B", "--bam", required=True,
+                   help="BAM file(s), comma-separated if genotyping multiple samples")
+    p.add_argument("-T", "--ref_fasta", default=None,
+                   help="reference FASTA (CRAM only; CRAM is not supported — see docs)")
+    p.add_argument("-l", "--lib_info", default=None,
+                   help="create/read JSON file of library information")
+    p.add_argument("-m", "--min_aligned", type=int, default=20,
+                   help="minimum number of aligned bases to consider read as evidence [20]")
+    p.add_argument("-n", dest="num_samp", type=int, default=1000000,
+                   help="number of reads to sample from BAM file for building insert size distribution [1000000]")
+    p.add_argument("-q", "--sum_quals", action="store_true",
+                   help="add genotyping quality to existing QUAL (default: overwrite QUAL field)")
+    p.add_argument("--split_weight", type=float, default=1.0,
+                   help="weight for split reads [1]")
+    p.add_argument("--disc_weight", type=float, default=1.0,
+                   help="weight for discordant paired-end reads [1]")
+    p.add_argument("--max_reads", type=int, default=None,
+                   help="maximum number of reads to assess at any variant (reduces processing time in high-depth regions) [unlimited]")
+    p.add_argument("--max_ci_dist", type=float, default=1e10,
+                   help="maximum size of a confidence interval before 0/0 genotype [1e10]")
+    p.add_argument("-w", "--write_alignment", default=None,
+                   help="write relevant reads to BAM file")
+    p.add_argument("--debug", action="store_true", help="debugging verbosity")
+    p.add_argument("--verbose", action="store_true", help="progress logging")
+    # TPU-framework extensions (not in the reference)
+    p.add_argument("--engine", choices=("tpu", "oracle"), default="tpu",
+                   help="genotyping engine: batched device pipeline or the float64 per-read oracle [tpu]")
+    p.add_argument("--batch_size", type=int, default=1024,
+                   help="variants per device chunk [1024]")
+    p.add_argument("--cores", type=int, default=None,
+                   help="host-side prep threads (default: auto)")
+    return p.parse_args(argv)
+
+
+def sv_genotype(
+    bam_string: str,
+    vcf_in: IO[str],
+    vcf_out: IO[str],
+    min_aligned: int = 20,
+    split_weight: float = 1.0,
+    disc_weight: float = 1.0,
+    num_samp: int = 1_000_000,
+    lib_info_path: Optional[str] = None,
+    debug: bool = False,
+    alignment_outpath: Optional[str] = None,
+    ref_fasta: Optional[str] = None,
+    sum_quals: bool = False,
+    max_reads: Optional[int] = None,
+    max_ci_dist: float = 1e10,
+    engine_kind: str = "tpu",
+    batch_size: int = 1024,
+    verbose: bool = False,
+) -> None:
+    """Library entry point (parity of ``classic.py::sv_genotype``)."""
+    t0 = time.time()
+    bam_paths = [b for b in bam_string.split(",") if b]
+    bams = [BamFile(p) for p in bam_paths]
+
+    # Samples: JSON cache if it exists, else head-scan (then save cache)
+    samples: List[Sample] = []
+    if lib_info_path and os.path.exists(lib_info_path):
+        info = Sample.load_lib_info(lib_info_path)
+        for bam in bams:
+            samples.append(Sample.from_lib_info(bam, info))
+    else:
+        for bam in bams:
+            samples.append(Sample.from_bam(bam, num_samp=num_samp))
+        if lib_info_path:
+            Sample.save_lib_info(samples, lib_info_path)
+    if verbose:
+        sys.stderr.write(
+            "svtyper-tpu %s: %d sample(s) ready in %.1fs\n"
+            % (__version__, len(samples), time.time() - t0)
+        )
+
+    if engine_kind == "oracle":
+        from svtyper_tpu.oracle import OracleEngine
+
+        engine = OracleEngine(
+            samples, min_aligned=min_aligned, split_weight=split_weight,
+            disc_weight=disc_weight, max_reads=max_reads,
+            max_ci_dist=max_ci_dist,
+        )
+
+        def run_chunk(bps):
+            return [engine.genotype_variant(bp) if bp is not None
+                    else [None] * len(samples) for bp in bps]
+    else:
+        from svtyper_tpu.gt import TpuEngine
+
+        engine = TpuEngine(
+            samples, min_aligned=min_aligned, split_weight=split_weight,
+            disc_weight=disc_weight, max_reads=max_reads,
+            max_ci_dist=max_ci_dist, chunk_size=batch_size,
+        )
+
+        def run_chunk(bps):
+            return engine.genotype_chunk(bps)
+
+    header_lines, body = read_vcf_lines(vcf_in)
+    vcf = Vcf()
+    vcf.add_header(header_lines)
+    add_format_headers(vcf)
+    sample_names = [s.name for s in samples]
+    for name in sample_names:
+        vcf.add_sample(name)
+    vcf_out.write(vcf.get_header())
+
+    writer_bams = None
+    if alignment_outpath:
+        from svtyper_tpu.cli.write_alignment import EvidenceWriter
+
+        writer_bams = EvidenceWriter(alignment_outpath, samples)
+
+    n_done = 0
+    t_gt = time.time()
+    pending: List[Variant] = []
+
+    def flush():
+        nonlocal n_done
+        if not pending:
+            return
+        bps = [resolve_breakpoint(v) for v in pending]
+        for v, bp in zip(pending, bps):
+            if bp is None:
+                svt = v.get_info("SVTYPE")
+                sys.stderr.write(
+                    "Warning: skipping variant %s, SVTYPE %s not supported\n"
+                    % (v.var_id, svt)
+                )
+        rows = run_chunk(bps)
+        for v, bp, res_row in zip(pending, bps, rows):
+            if bp is None:
+                vcf_out.write(v.get_var_string() + "\n")
+                continue
+            apply_variant(v, sample_names, res_row, sum_quals=sum_quals)
+            if debug:
+                for name, res in zip(sample_names, res_row):
+                    sys.stderr.write(
+                        "%s %s counts=%s QR=%s QA=%s GT=%s\n"
+                        % (v.var_id, name, res.counts, res.qr, res.qa,
+                           res.gt_string)
+                    )
+            vcf_out.write(v.get_var_string() + "\n")
+            if writer_bams is not None:
+                writer_bams.add(bp)
+        n_done += len(pending)
+        pending.clear()
+        if verbose:
+            dt = time.time() - t_gt
+            sys.stderr.write(
+                "genotyped %d variants (%.1f variants/s)\n"
+                % (n_done, n_done / dt if dt > 0 else 0.0)
+            )
+
+    for line in body:
+        pending.append(Variant(line, vcf))
+        if len(pending) >= batch_size:
+            flush()
+    flush()
+    if writer_bams is not None:
+        writer_bams.close()
+
+
+def main(argv=None) -> int:
+    args = get_args(argv)
+    vcf_in = open(args.input_vcf) if args.input_vcf else sys.stdin
+    vcf_out = open(args.output_vcf, "w") if args.output_vcf else sys.stdout
+    try:
+        sv_genotype(
+            args.bam,
+            vcf_in,
+            vcf_out,
+            min_aligned=args.min_aligned,
+            split_weight=args.split_weight,
+            disc_weight=args.disc_weight,
+            num_samp=args.num_samp,
+            lib_info_path=args.lib_info,
+            debug=args.debug,
+            alignment_outpath=args.write_alignment,
+            ref_fasta=args.ref_fasta,
+            sum_quals=args.sum_quals,
+            max_reads=args.max_reads,
+            max_ci_dist=args.max_ci_dist,
+            engine_kind=args.engine,
+            batch_size=args.batch_size,
+            verbose=args.verbose or args.debug,
+        )
+    finally:
+        if args.input_vcf:
+            vcf_in.close()
+        if args.output_vcf:
+            vcf_out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,209 @@
+"""Device evidence classification — SPEC.md §4 as fused vector ops.
+
+Every predicate of the reference's per-fragment Python loop
+(``parsers.py::SamFragment/SplitRead``, SURVEY.md §2.2) becomes an
+elementwise mask over flat read/pair tensors; the five evidence
+accumulators become weighted segment-sums by variant. Runs under one
+``jit`` together with the GL kernel (``svtyper_tpu.ops``) so XLA fuses
+the whole numeric path; float dtype is f64 on CPU (oracle parity) and
+f32 on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+SPLIT_SLOP = 7  # SPEC.md §8
+PRIOR_CONC, PRIOR_DISC = 0.95, 0.05
+
+
+def prob_mapq(mapq, dtype):
+    return 1.0 - jnp.power(jnp.asarray(10.0, dtype), -mapq.astype(dtype) / 10.0)
+
+
+def _edge_in_window(pos, end, tid, bp_tid, bp_pos, ci0, ci1, o_rev):
+    """SPEC.md §4.2: '+' edge = end-1, '-' edge = pos, within CI ± slop."""
+    edge = jnp.where(o_rev, pos, end - 1)
+    return (
+        (tid == bp_tid)
+        & (edge >= bp_pos + ci0 - SPLIT_SLOP)
+        & (edge <= bp_pos + ci1 + SPLIT_SLOP)
+    )
+
+
+def _straddle(
+    a_pos, a_end, a_rev, a_aln, a_tid,
+    b_pos, b_end, b_rev, b_aln, b_tid,
+    tid1, p1, ci10, ci11, tid2, p2, ci20, ci21,
+    o1, o2, min_aligned,
+):
+    """SPEC.md §4.3 pair-straddle predicate, elementwise over pairs."""
+    ok = (
+        (a_rev == o1) & (b_rev == o2)
+        & (a_tid == tid1) & (b_tid == tid2)
+        & (a_aln >= min_aligned) & (b_aln >= min_aligned)
+    )
+    # bracket test (SPEC.md §4.3): forward read starts at-or-left,
+    # reverse read ends at-or-right of its breakpoint
+    a_side = jnp.where(o1, a_end - 1 >= p1 + ci10, a_pos <= p1 + ci11)
+    b_side = jnp.where(o2, b_end - 1 >= p2 + ci20, b_pos <= p2 + ci21)
+    return ok & a_side & b_side
+
+
+def classify(
+    reads: Dict[str, jnp.ndarray],
+    pairs: Dict[str, jnp.ndarray],
+    variants: Dict[str, jnp.ndarray],
+    dens: jnp.ndarray,  # [n_libs, max_insert+1]
+    n_var: int,
+    min_aligned: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """→ counts [n_var, 5]: ref_seq, alt_seq, alt_clip, ref_span, alt_span."""
+    nseg = n_var + 1  # trailing trash segment for padding rows
+
+    def vgather(name):
+        col = variants[name]
+        pad = jnp.zeros((1,), dtype=col.dtype)
+        return jnp.concatenate([col, pad])
+
+    rv = reads["var"]
+    v = {name: vgather(name)[rv] for name in (
+        "tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0", "cib1",
+        "o1", "o2",
+    )}
+    pm = prob_mapq(reads["mapq"], dtype)
+
+    # ---- §4.1 reference-sequencing reads
+    ref_seq_c = jnp.where(reads["cov_a"] | reads["cov_b"], pm, 0.0)
+
+    # ---- §4.2 SA splits
+    same_strand_req = v["o1"] != v["o2"]
+    pieces_same = reads["is_rev"] == reads["sa_rev"]
+    sa_ok = reads["has_sa"] & (pieces_same == same_strand_req)
+    prim_first = reads["lead"] <= reads["sa_lead"]
+
+    def pick(prim, sa):
+        return jnp.where(prim_first, prim, sa), jnp.where(prim_first, sa, prim)
+
+    L_pos, R_pos = pick(reads["pos"], reads["sa_pos"])
+    L_end, R_end = pick(reads["end"], reads["sa_end"])
+    L_tid, R_tid = pick(reads["tid"], reads["sa_tid"])
+    L_pm, R_pm = pick(pm, prob_mapq(reads["sa_mapq"], dtype))
+
+    def win(pp, pe, pt, side):
+        if side == "a":
+            return _edge_in_window(
+                pp, pe, pt, v["tid_a"], v["pos_a"], v["cia0"], v["cia1"], v["o1"]
+            )
+        return _edge_in_window(
+            pp, pe, pt, v["tid_b"], v["pos_b"], v["cib0"], v["cib1"], v["o2"]
+        )
+
+    a1L, a1R = win(L_pos, L_end, L_tid, "a"), win(R_pos, R_end, R_tid, "b")
+    a2L, a2R = win(L_pos, L_end, L_tid, "b"), win(R_pos, R_end, R_tid, "a")
+    use1 = (a1L.astype(jnp.int32) + a1R) >= (a2L.astype(jnp.int32) + a2R)
+    lr0 = jnp.where(use1, a1L, a2L)
+    lr1 = jnp.where(use1, a1R, a2R)
+    p_alt = (L_pm * lr0 + R_pm * lr1) * 0.5
+    alt_seq_c = jnp.where(sa_ok, p_alt, 0.0)
+
+    # ---- §4.2 soft-clip pseudo-splits
+    has_clip = reads["has_lsoft"] | reads["has_rsoft"]
+
+    def clip_sup(side):
+        o = v["o1"] if side == "a" else v["o2"]
+        fwd_ok = (~o) & reads["has_rsoft"] & win(
+            reads["pos"], reads["end"], reads["tid"], side
+        )
+        rev_ok = o & reads["has_lsoft"] & win(
+            reads["pos"], reads["end"], reads["tid"], side
+        )
+        return fwd_ok | rev_ok
+
+    clip_hit = (~reads["has_sa"]) & has_clip & (clip_sup("a") | clip_sup("b"))
+    alt_clip_c = jnp.where(clip_hit, pm, 0.0)
+
+    counts_read = jnp.stack([ref_seq_c, alt_seq_c, alt_clip_c], axis=1)
+    per_var_read = jax.ops.segment_sum(counts_read, rv, num_segments=nseg)
+
+    # ---- §4.3 read pairs
+    ia, ib = pairs["a"], pairs["b"]
+    pv = pairs["var"]
+    pvf = {name: vgather(name)[pv] for name in (
+        "tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0", "cib1",
+        "o1", "o2", "is_del", "is_inv", "vlen",
+    )}
+
+    def g(col):
+        return reads[col]
+
+    A = dict(pos=g("pos")[ia], end=g("end")[ia], rev=g("is_rev")[ia],
+             aln=g("ref_aln")[ia], tid=g("tid")[ia], pm=pm[ia],
+             lib=g("lib")[ia])
+    B = dict(pos=g("pos")[ib], end=g("end")[ib], rev=g("is_rev")[ib],
+             aln=g("ref_aln")[ib], tid=g("tid")[ib], pm=pm[ib])
+    p_pair = A["pm"] * B["pm"]
+    F, T = jnp.zeros_like(pvf["o1"]), jnp.ones_like(pvf["o1"])
+
+    def strad(t1, p1, c10, c11, t2, p2, c20, c21, o1, o2):
+        return _straddle(
+            A["pos"], A["end"], A["rev"], A["aln"], A["tid"],
+            B["pos"], B["end"], B["rev"], B["aln"], B["tid"],
+            t1, p1, c10, c11, t2, p2, c20, c21, o1, o2, min_aligned,
+        )
+
+    at = (pvf["tid_a"], pvf["pos_a"], pvf["cia0"], pvf["cia1"])
+    bt = (pvf["tid_b"], pvf["pos_b"], pvf["cib0"], pvf["cib1"])
+    ref_a = strad(*at, *at, F, T)
+    ref_b = strad(*bt, *bt, F, T)
+    ref_gate = (ref_a | ref_b) & (~(ref_a & ref_b) | pvf["is_del"])
+    ref_span_c = jnp.where(
+        ref_gate,
+        (ref_a.astype(dtype) + ref_b.astype(dtype)) * p_pair * 0.5,
+        0.0,
+    )
+    alt = strad(*at, *bt, pvf["o1"], pvf["o2"])
+    alt_rec = pvf["is_inv"] & strad(*at, *bt, ~pvf["o1"], ~pvf["o2"])
+
+    # DEL concordance re-partition (§4.3): dens lookups per pair
+    W = dens.shape[1]
+    ospan = B["end"] - A["pos"]
+    lib_safe = jnp.clip(A["lib"], 0, dens.shape[0] - 1)
+
+    def dens_at(x):
+        ok = (x >= 0) & (x < W) & (A["lib"] >= 0)
+        return jnp.where(ok, dens[lib_safe, jnp.clip(x, 0, W - 1)], 0.0)
+
+    d_conc = dens_at(ospan)
+    d_disc = dens_at(ospan - pvf["vlen"])
+    denom = PRIOR_CONC * d_conc + PRIOR_DISC * d_disc
+    p_conc = jnp.where(denom > 0, PRIOR_CONC * d_conc / jnp.where(denom > 0, denom, 1.0), 0.0)
+    del_move = jnp.where(
+        pvf["is_del"] & alt & (denom > 0), (1.0 - p_conc) * p_pair, 0.0
+    )
+    alt_span_c = (
+        del_move
+        + jnp.where(alt & ~pvf["is_del"], p_pair, 0.0)
+        + jnp.where(alt_rec, p_pair, 0.0)
+    )
+    ref_span_c = ref_span_c - del_move
+
+    counts_pair = jnp.stack([ref_span_c, alt_span_c], axis=1)
+    per_var_pair = jax.ops.segment_sum(counts_pair, pv, num_segments=nseg)
+
+    # [n_var, 5]: ref_seq, alt_seq, alt_clip, ref_span, alt_span
+    out = jnp.concatenate(
+        [
+            per_var_read[:n_var, 0:1],
+            per_var_read[:n_var, 1:2],
+            per_var_read[:n_var, 2:3],
+            per_var_pair[:n_var, 0:1],
+            per_var_pair[:n_var, 1:2],
+        ],
+        axis=1,
+    ).astype(dtype)
+    return out

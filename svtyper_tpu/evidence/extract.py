@@ -1,0 +1,274 @@
+"""Host-side chunk preparation: reads → flat padded device tensors.
+
+The host's job ends at data layout: decode, filter, deduplicate, group
+fragments, precompute ragged-only features (aligned-coverage tests), and
+pad to bucketed static shapes so XLA compiles once per bucket. All float
+math happens on device (SPEC.md §§3–5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from svtyper_tpu.bamio.columns import FMUNMAP, FPAIRED, ReadBatch
+from svtyper_tpu.breakpoints import Breakpoint
+from svtyper_tpu.oracle.engine import Z_FLANK, gather_reads
+from svtyper_tpu.stats.library import Sample
+
+READ_FIELDS = [
+    ("var", np.int32),
+    ("is_rev", np.bool_),
+    ("tid", np.int32),
+    ("pos", np.int32),
+    ("end", np.int32),
+    ("mapq", np.int32),
+    ("ref_aln", np.int32),
+    ("has_lsoft", np.bool_),
+    ("has_rsoft", np.bool_),
+    ("lead", np.int32),
+    ("cov_a", np.bool_),
+    ("cov_b", np.bool_),
+    ("has_sa", np.bool_),
+    ("sa_tid", np.int32),
+    ("sa_pos", np.int32),
+    ("sa_end", np.int32),
+    ("sa_rev", np.bool_),
+    ("sa_mapq", np.int32),
+    ("sa_lead", np.int32),
+    ("lib", np.int32),
+]
+
+VAR_FIELDS = [
+    ("tid_a", np.int32),
+    ("pos_a", np.int32),
+    ("cia0", np.int32),
+    ("cia1", np.int32),
+    ("tid_b", np.int32),
+    ("pos_b", np.int32),
+    ("cib0", np.int32),
+    ("cib1", np.int32),
+    ("o1", np.bool_),
+    ("o2", np.bool_),
+    ("is_del", np.bool_),
+    ("is_dup", np.bool_),
+    ("is_inv", np.bool_),
+    ("vlen", np.int32),
+    ("force_null", np.bool_),
+]
+
+
+class ChunkInputs:
+    """Flat arrays for one (sample × variant-chunk) device invocation.
+
+    ``reads``/``pairs``/``variants`` are dicts of equal-length numpy
+    arrays. Padding rows carry ``var == n_var`` (a trash segment dropped
+    after the segment-sum).
+    """
+
+    def __init__(
+        self,
+        reads: Dict[str, np.ndarray],
+        pairs: Dict[str, np.ndarray],
+        variants: Dict[str, np.ndarray],
+        n_var: int,
+    ) -> None:
+        self.reads = reads
+        self.pairs = pairs
+        self.variants = variants
+        self.n_var = n_var
+
+
+def _bucket(n: int, floor: int = 256) -> int:
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
+def _coverage_ok(
+    batch: ReadBatch, p0: np.ndarray, tid: np.ndarray, min_aligned: int
+) -> np.ndarray:
+    """SPEC.md §4.1 test, vectorized over the ragged block arrays:
+    M/=/X overlap with [p0-min_aligned+1, p0+min_aligned+1) == 2*min_aligned."""
+    n = batch.n
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    counts = np.diff(batch.blk_off)
+    row = np.repeat(np.arange(n), counts)
+    lo = (p0 - min_aligned + 1)[row]
+    hi = (p0 + min_aligned + 1)[row]
+    ov = np.clip(
+        np.minimum(batch.blk_end, hi) - np.maximum(batch.blk_start, lo),
+        0,
+        None,
+    )
+    cov = np.zeros(n, dtype=np.int64)
+    np.add.at(cov, row, ov)
+    return (cov == 2 * min_aligned) & (batch.tid == tid)
+
+
+def prepare_chunk(
+    sample: Sample,
+    bps: List[Optional[Breakpoint]],
+    min_aligned: int = 20,
+    max_reads: Optional[int] = None,
+    max_ci_dist: float = 1e10,
+    z: float = Z_FLANK,
+    pad_reads: Optional[int] = None,
+    pad_pairs: Optional[int] = None,
+) -> ChunkInputs:
+    """Gather + lay out one chunk of breakpoints for one sample.
+
+    ``bps`` entries may be None (unsupported records occupying a slot for
+    output alignment); they become force_null variants with no reads.
+    """
+    n_var = len(bps)
+    name_to_tid = sample.bam.header.name_to_tid
+
+    v: Dict[str, List] = {name: [] for name, _ in VAR_FIELDS}
+    read_parts: List[Tuple[int, ReadBatch, np.ndarray]] = []
+    for vi, bp in enumerate(bps):
+        if bp is None:
+            for name, _ in VAR_FIELDS:
+                v[name].append(0)
+            v["force_null"][-1] = True
+            continue
+        force_null = bp.ci_width() > max_ci_dist
+        if not force_null:
+            batch, lib_idx = gather_reads(sample, bp, z)
+            if max_reads is not None and batch.n > max_reads:
+                force_null = True
+            elif batch.n:
+                read_parts.append((vi, batch, lib_idx))
+        v["tid_a"].append(name_to_tid.get(bp.chrom_a, -1))
+        v["pos_a"].append(bp.pos_a)
+        v["cia0"].append(bp.ci_a[0])
+        v["cia1"].append(bp.ci_a[1])
+        v["tid_b"].append(name_to_tid.get(bp.chrom_b, -1))
+        v["pos_b"].append(bp.pos_b)
+        v["cib0"].append(bp.ci_b[0])
+        v["cib1"].append(bp.ci_b[1])
+        v["o1"].append(bp.o1_rev)
+        v["o2"].append(bp.o2_rev)
+        v["is_del"].append(bp.is_del)
+        v["is_dup"].append(bp.is_dup)
+        v["is_inv"].append(bp.is_inv)
+        v["vlen"].append(bp.var_length or 0)
+        v["force_null"].append(force_null)
+
+    variants = {
+        name: np.asarray(v[name], dtype=dt).reshape(n_var)
+        for name, dt in VAR_FIELDS
+    }
+
+    # ---- flatten reads across variants
+    if read_parts:
+        var_of = np.concatenate(
+            [np.full(b.n, vi, dtype=np.int32) for vi, b, _ in read_parts]
+        )
+        big = ReadBatch.concat([b for _, b, _ in read_parts])
+        libs = np.concatenate([l for _, _, l in read_parts])
+    else:
+        var_of = np.zeros(0, dtype=np.int32)
+        big = ReadBatch(0)
+        libs = np.zeros(0, dtype=np.int32)
+
+    pa = variants["pos_a"][var_of] if big.n else np.zeros(0, dtype=np.int64)
+    pb = variants["pos_b"][var_of] if big.n else np.zeros(0, dtype=np.int64)
+    ta = variants["tid_a"][var_of] if big.n else np.zeros(0, dtype=np.int64)
+    tb = variants["tid_b"][var_of] if big.n else np.zeros(0, dtype=np.int64)
+
+    reads = {
+        "var": var_of,
+        "is_rev": big.is_reverse,
+        "tid": big.tid,
+        "pos": big.pos,
+        "end": big.ref_end,
+        "mapq": big.mapq.astype(np.int32),
+        "ref_aln": big.ref_aln_len,
+        "has_lsoft": big.left_soft > 0,
+        "has_rsoft": big.right_soft > 0,
+        "lead": big.lead_clip_q,
+        "cov_a": _coverage_ok(big, pa, ta, min_aligned),
+        "cov_b": _coverage_ok(big, pb, tb, min_aligned),
+        "has_sa": big.has_sa,
+        "sa_tid": big.sa_tid,
+        "sa_pos": big.sa_pos,
+        "sa_end": big.sa_end,
+        "sa_rev": big.sa_is_reverse,
+        "sa_mapq": big.sa_mapq.astype(np.int32),
+        "sa_lead": big.sa_lead_clip_q,
+        "lib": libs,
+    }
+
+    # ---- fragment pair table (host: integer sort + boundaries)
+    eligible = ((big.flag & FPAIRED) != 0) & ((big.flag & FMUNMAP) == 0)
+    el = np.flatnonzero(eligible)
+    if len(el):
+        order = el[
+            np.lexsort(
+                (
+                    np.arange(len(el)),  # stable within equal keys
+                    big.pos[el],
+                    big.tid[el],
+                    big.qname_hash[el],
+                    var_of[el],
+                )
+            )
+        ]
+        key_var = var_of[order]
+        key_q = big.qname_hash[order]
+        new = np.concatenate(
+            ([True], (key_var[1:] != key_var[:-1]) | (key_q[1:] != key_q[:-1]))
+        )
+        gstart = np.flatnonzero(new)
+        gcount = np.diff(np.concatenate((gstart, [len(order)])))
+        two = gcount == 2
+        p_a = order[gstart[two]]
+        p_b = order[gstart[two] + 1]
+        p_var = var_of[p_a]
+    else:
+        p_a = p_b = np.zeros(0, dtype=np.int64)
+        p_var = np.zeros(0, dtype=np.int32)
+
+    pairs = {
+        "var": p_var.astype(np.int32),
+        "a": p_a.astype(np.int32),
+        "b": p_b.astype(np.int32),
+    }
+
+    # ---- pad to buckets; trash segment = n_var
+    r_pad = pad_reads or _bucket(max(big.n, 1))
+    f_pad = pad_pairs or _bucket(max(len(p_a), 1), floor=64)
+    reads = _pad(reads, READ_FIELDS_D, r_pad, {"var": n_var})
+    pairs = _pad(
+        pairs,
+        {"var": np.int32, "a": np.int32, "b": np.int32},
+        f_pad,
+        {"var": n_var, "a": r_pad - 1, "b": r_pad - 1},
+    )
+    return ChunkInputs(reads, pairs, variants, n_var)
+
+
+READ_FIELDS_D = {name: dt for name, dt in READ_FIELDS}
+
+
+def _pad(
+    d: Dict[str, np.ndarray],
+    dtypes: Dict[str, type],
+    size: int,
+    fill: Dict[str, int],
+) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, arr in d.items():
+        dt = dtypes[k]
+        cur = np.asarray(arr, dtype=dt)
+        if len(cur) > size:
+            raise ValueError("pad size %d < data %d" % (size, len(cur)))
+        pad_val = fill.get(k, 0)
+        padded = np.full(size, pad_val, dtype=dt)
+        padded[: len(cur)] = cur
+        out[k] = padded
+    return out

@@ -1,0 +1,146 @@
+"""TpuEngine: chunked, jitted genotyping over device tensors.
+
+The device twin of ``svtyper_tpu.oracle.OracleEngine`` (reference
+``classic.py::sv_genotype`` inner loop, SURVEY.md §3.1): the host
+prepares padded chunk tensors (``evidence.extract``), one jitted XLA
+program runs classification + GL (``evidence.device`` + ``ops.gl``),
+and results come back as arrays that reconstruct per-sample
+``GenotypeResult``s. Compilation is cached per padded shape bucket.
+
+Float dtype: float64 when JAX x64 is enabled (CPU parity runs — the
+golden tests), float32 otherwise (TPU throughput runs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svtyper_tpu.breakpoints import Breakpoint
+from svtyper_tpu.evidence.device import classify
+from svtyper_tpu.evidence.extract import ChunkInputs, prepare_chunk
+from svtyper_tpu.models.bayes import GT_STRINGS, GenotypeResult
+from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
+from svtyper_tpu.stats.library import Sample
+
+MAX_N_TABLE = 1 << 17  # log-choose table span; QR+QA beyond this clamps
+
+
+class TpuEngine:
+    def __init__(
+        self,
+        samples: List[Sample],
+        min_aligned: int = 20,
+        split_weight: float = 1.0,
+        disc_weight: float = 1.0,
+        max_reads: Optional[int] = None,
+        max_ci_dist: float = 1e10,
+        chunk_size: int = 1024,
+    ) -> None:
+        self.samples = samples
+        self.min_aligned = min_aligned
+        self.split_weight = split_weight
+        self.disc_weight = disc_weight
+        self.max_reads = max_reads
+        self.max_ci_dist = max_ci_dist
+        self.chunk_size = chunk_size
+        self._use_f64 = jax.config.jax_enable_x64
+        self.dtype = jnp.float64 if self._use_f64 else jnp.float32
+        self._lcf = jnp.asarray(
+            log_choose_table(MAX_N_TABLE, use_f64=self._use_f64)
+        )
+        self._dens_cache: Dict[int, jnp.ndarray] = {}
+        self._step = self._build_step()
+
+    def _build_step(self):
+        min_aligned = self.min_aligned
+        sw, dw = self.split_weight, self.disc_weight
+        dtype = self.dtype
+
+        @functools.partial(jax.jit, static_argnames=("n_var",))
+        def step(reads, pairs, variants, dens, lcf, n_var):
+            counts = classify(
+                reads, pairs, variants, dens, n_var, min_aligned, dtype=dtype
+            )
+            return genotype_batch(
+                counts,
+                variants["is_dup"],
+                variants["force_null"],
+                lcf,
+                split_weight=sw,
+                disc_weight=dw,
+            )
+
+        return step
+
+    def _dens_for(self, sample_idx: int) -> jnp.ndarray:
+        d = self._dens_cache.get(sample_idx)
+        if d is None:
+            m = self.samples[sample_idx].dens_matrix()
+            # bucket the insert-size axis so dens shape doesn't drive
+            # recompiles across samples
+            w = 1024
+            while w < m.shape[1]:
+                w *= 2
+            padded = np.zeros((max(m.shape[0], 1), w), dtype=np.float64)
+            if m.size:
+                padded[: m.shape[0], : m.shape[1]] = m
+            d = jnp.asarray(padded, dtype=self.dtype)
+            self._dens_cache[sample_idx] = d
+        return d
+
+    def genotype_chunk(
+        self, bps: List[Optional[Breakpoint]]
+    ) -> List[List[GenotypeResult]]:
+        """→ results[variant][sample], matching OracleEngine layout."""
+        per_sample = []
+        for si, sample in enumerate(self.samples):
+            chunk = prepare_chunk(
+                sample,
+                bps,
+                min_aligned=self.min_aligned,
+                max_reads=self.max_reads,
+                max_ci_dist=self.max_ci_dist,
+            )
+            out = self._step(
+                {k: jnp.asarray(v) for k, v in chunk.reads.items()},
+                {k: jnp.asarray(v) for k, v in chunk.pairs.items()},
+                {k: jnp.asarray(v) for k, v in chunk.variants.items()},
+                self._dens_for(si),
+                self._lcf,
+                n_var=chunk.n_var,
+            )
+            per_sample.append(jax.device_get(out))
+        return [
+            [_to_result(per_sample[si], vi) for si in range(len(self.samples))]
+            for vi in range(len(bps))
+        ]
+
+    def genotype_all(
+        self, bps: List[Optional[Breakpoint]]
+    ) -> List[List[GenotypeResult]]:
+        out: List[List[GenotypeResult]] = []
+        for lo in range(0, len(bps), self.chunk_size):
+            out.extend(self.genotype_chunk(bps[lo : lo + self.chunk_size]))
+        return out
+
+
+def _to_result(arrs: Dict[str, np.ndarray], i: int) -> GenotypeResult:
+    r = GenotypeResult()
+    r.counts = tuple(float(x) for x in arrs["counts"][i])
+    r.qr = int(arrs["qr"][i])
+    r.qa = int(arrs["qa"][i])
+    if bool(arrs["null"][i]):
+        return r
+    r.null = False
+    r.gt_idx = int(arrs["gt_idx"][i])
+    r.gt_string = GT_STRINGS[r.gt_idx]
+    r.gl = [float(x) for x in arrs["gl"][i]]
+    r.gq = int(arrs["gq"][i])
+    r.sq = float(arrs["sq"][i])
+    r.ab = float(arrs["ab"][i]) if bool(arrs["ab_valid"][i]) else None
+    return r

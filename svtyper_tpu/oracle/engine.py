@@ -99,17 +99,19 @@ def _straddle(
         return False
     if ra.ref_aln_len < min_aligned or rb.ref_aln_len < min_aligned:
         return False
+    # bracket test (SPEC.md §4.3): forward read starts at-or-left of its
+    # breakpoint, reverse read ends at-or-right
     if o1_rev:
-        if ra.pos < p1 + ci1[0]:
+        if ra.ref_end - 1 < p1 + ci1[0]:
             return False
     else:
-        if ra.ref_end - 1 > p1 + ci1[1]:
+        if ra.pos > p1 + ci1[1]:
             return False
     if o2_rev:
-        if rb.pos < p2 + ci2[0]:
+        if rb.ref_end - 1 < p2 + ci2[0]:
             return False
     else:
-        if rb.ref_end - 1 > p2 + ci2[1]:
+        if rb.pos > p2 + ci2[1]:
             return False
     return True
 

@@ -1,0 +1,134 @@
+"""CLI end-to-end: tpu-engine output must be byte-identical to the
+oracle-engine output, and the output contract (SPEC.md §6) must hold."""
+
+import io
+import json
+import os
+
+import pytest
+
+from svtyper_tpu.bamio.bam import BamFile
+from svtyper_tpu.cli.classic import main as classic_main
+from svtyper_tpu.cli.sso import main as sso_main
+from svtyper_tpu.simulate import Event, SimConfig, events_to_vcf, simulate_events
+
+REFS = [("chr1", 8_000_000)]
+EVENTS = [
+    Event("DEL", "chr1", 1_000_000, 1_003_000, "0/1"),
+    Event("DEL", "chr1", 1_500_000, 1_502_000, "1/1"),
+    Event("DUP", "chr1", 2_000_000, 2_003_000, "0/1"),
+    Event("INV", "chr1", 3_000_000, 3_002_000, "0/1"),
+    Event("DEL", "chr1", 4_000_000, 4_002_000, "0/0"),
+]
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    bam = str(d / "sim.bam")
+    vcf = str(d / "in.vcf")
+    simulate_events(bam, REFS, EVENTS, SimConfig(depth=36), seed=3,
+                    extra_background=2000)
+    with open(vcf, "w") as fh:
+        fh.write(events_to_vcf(EVENTS, REFS))
+    return d, bam, vcf
+
+
+def _run(argv, entry=classic_main):
+    rc = entry(argv)
+    assert rc == 0
+
+
+def test_tpu_vs_oracle_byte_identical(paths):
+    d, bam, vcf = paths
+    out_t = str(d / "out_tpu.vcf")
+    out_o = str(d / "out_oracle.vcf")
+    _run(["-i", vcf, "-B", bam, "-o", out_t, "-n", "50000", "--engine", "tpu"])
+    _run(["-i", vcf, "-B", bam, "-o", out_o, "-n", "50000", "--engine", "oracle"])
+    with open(out_t) as f1, open(out_o) as f2:
+        t, o = f1.read(), f2.read()
+    assert t == o
+    assert t.count("\n") > len(EVENTS)  # header + records
+
+
+def test_output_contract(paths):
+    d, bam, vcf = paths
+    out = str(d / "out.vcf")
+    _run(["-i", vcf, "-B", bam, "-o", out, "-n", "50000"])
+    body = [l for l in open(out) if not l.startswith("#")]
+    header = [l for l in open(out) if l.startswith("#")]
+    fmt_ids = [l.split("ID=")[1].split(",")[0] for l in header
+               if l.startswith("##FORMAT")]
+    assert fmt_ids == ["GT", "GQ", "SQ", "GL", "DP", "RO", "AO", "QR", "QA",
+                       "RS", "AS", "ASC", "RP", "AP", "AB"]
+    assert len(body) == len(EVENTS)
+    gts = {}
+    for line in body:
+        cols = line.rstrip("\n").split("\t")
+        assert cols[8].split(":")[0] == "GT"
+        fields = dict(zip(cols[8].split(":"), cols[9].split(":")))
+        gts[cols[2]] = fields["GT"]
+        # genotyped records get %.2f QUAL
+        assert "." not in cols[5] or "." == cols[5] or float(cols[5]) >= 0
+        assert len(fields["GL"].split(",")) == 3
+    truth = {ev.var_id: ev.gt for ev in EVENTS}
+    for var_id, gt in gts.items():
+        assert gt == truth[var_id], var_id
+
+
+def test_lib_info_cache_roundtrip(paths):
+    d, bam, vcf = paths
+    lib = str(d / "lib.json")
+    out1 = str(d / "c1.vcf")
+    out2 = str(d / "c2.vcf")
+    _run(["-i", vcf, "-B", bam, "-o", out1, "-n", "50000", "-l", lib])
+    assert os.path.exists(lib)
+    with open(lib) as fh:
+        obj = json.load(fh)
+    assert "NA12878" in obj
+    # second run loads the cache and must produce identical output
+    _run(["-i", vcf, "-B", bam, "-o", out2, "-l", lib])
+    assert open(out1).read() == open(out2).read()
+
+
+def test_unsupported_svtype_passthrough(paths, capsys):
+    d, bam, vcf = paths
+    vcf2 = str(d / "with_ins.vcf")
+    text = open(vcf).read()
+    ins_line = "chr1\t500000\tins1\tN\t<INS>\t5\tPASS\tSVTYPE=INS;END=500000\tGT\t./."
+    with open(vcf2, "w") as fh:
+        fh.write(text + ins_line + "\n")
+    out = str(d / "out_ins.vcf")
+    _run(["-i", vcf2, "-B", bam, "-o", out, "-n", "50000"])
+    body = [l.rstrip("\n") for l in open(out) if not l.startswith("#")]
+    assert ins_line in body  # byte-exact passthrough
+
+
+def test_write_alignment(paths):
+    d, bam, vcf = paths
+    out = str(d / "out_w.vcf")
+    wbam = str(d / "evidence.bam")
+    _run(["-i", vcf, "-B", bam, "-o", out, "-n", "50000", "-w", wbam])
+    eb = BamFile(wbam)
+    got = eb.fetch("chr1", 990_000, 1_010_000)
+    assert got.n > 0
+    assert eb.header.sample_name == "NA12878"
+
+
+def test_sso_single_sample(paths):
+    d, bam, vcf = paths
+    out = str(d / "out_sso.vcf")
+    _run(["-i", vcf, "-B", bam, "-o", out, "-n", "50000"], entry=sso_main)
+    body = [l for l in open(out) if not l.startswith("#")]
+    assert len(body) == len(EVENTS)
+    # multiple BAMs rejected
+    assert sso_main(["-i", vcf, "-B", bam + "," + bam, "-o", out]) == 2
+
+
+def test_stdin_stdout(paths, monkeypatch, capsys):
+    d, bam, vcf = paths
+    monkeypatch.setattr("sys.stdin", io.StringIO(open(vcf).read()))
+    _run(["-B", bam, "-n", "50000"])
+    out = capsys.readouterr().out
+    assert out.startswith("##fileformat")
+    assert len([l for l in out.splitlines() if not l.startswith("#")]) == len(EVENTS)
