@@ -1,0 +1,127 @@
+"""Benchmark: end-to-end genotyping throughput (variants/s).
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md),
+so the denominator is the float64 per-read oracle — the same
+per-fragment algorithm the reference implements in pure Python
+(SURVEY.md §6: baseline defined by measurement).
+
+Prints ONE JSON line:
+  {"metric": "variants_per_s", "value": N, "unit": "variants/s",
+   "vs_baseline": N}
+
+Env knobs: SVT_BENCH_VARIANTS (default 800), SVT_BENCH_DEPTH (30),
+SVT_BENCH_ORACLE_N (48), SVT_BENCH_CACHE (fixture dir).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_VARIANTS = int(os.environ.get("SVT_BENCH_VARIANTS", "800"))
+DEPTH = float(os.environ.get("SVT_BENCH_DEPTH", "30"))
+ORACLE_N = int(os.environ.get("SVT_BENCH_ORACLE_N", "48"))
+CACHE = os.environ.get("SVT_BENCH_CACHE", "/tmp/svtyper_tpu_bench")
+
+
+def build_fixture():
+    from svtyper_tpu.simulate import Event, SimConfig, events_to_vcf, simulate_events
+
+    os.makedirs(CACHE, exist_ok=True)
+    tag = "v3_n%d_d%g" % (N_VARIANTS, DEPTH)
+    bam = os.path.join(CACHE, "bench_%s.bam" % tag)
+    vcf = os.path.join(CACHE, "bench_%s.vcf" % tag)
+    if os.path.exists(bam) and os.path.exists(bam + ".bai") and os.path.exists(vcf):
+        return bam, vcf
+    rng = np.random.default_rng(42)
+    types = ["DEL", "DEL", "DEL", "DUP", "INV"]  # DEL-heavy like LUMPY output
+    gts = ["0/0", "0/1", "0/1", "1/1"]
+    spacing = 20_000
+    n_chrom = max(1, (N_VARIANTS * spacing) // 40_000_000 + 1)
+    per_chrom = (N_VARIANTS + n_chrom - 1) // n_chrom
+    refs = [("chr%d" % (c + 1), per_chrom * spacing + 100_000)
+            for c in range(n_chrom)]
+    events = []
+    for i in range(N_VARIANTS):
+        c = i // per_chrom
+        j = i % per_chrom
+        pos = 30_000 + j * spacing
+        svlen = int(rng.integers(300, 6000))
+        events.append(
+            Event(
+                types[i % len(types)], refs[c][0], pos, pos + svlen,
+                gts[int(rng.integers(0, len(gts)))],
+                var_id="v%d" % i,
+            )
+        )
+    cfg = SimConfig(depth=DEPTH)
+    t0 = time.time()
+    simulate_events(bam, refs, events, cfg, seed=42, extra_background=5000)
+    with open(vcf, "w") as fh:
+        fh.write(events_to_vcf(events, refs))
+    sys.stderr.write("fixture built in %.1fs (%s)\n" % (time.time() - t0, bam))
+    return bam, vcf
+
+
+def main():
+    bam_path, vcf_path = build_fixture()
+
+    from svtyper_tpu.bamio.bam import BamFile
+    from svtyper_tpu.breakpoints import resolve_breakpoint
+    from svtyper_tpu.gt import TpuEngine
+    from svtyper_tpu.oracle import OracleEngine
+    from svtyper_tpu.stats import Sample
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+    from svtyper_tpu.vcfio.reader import read_vcf_lines
+
+    sample = Sample.from_bam(BamFile(bam_path), num_samp=200_000)
+    vcf = Vcf()
+    with open(vcf_path) as fh:
+        header, body = read_vcf_lines(fh)
+        vcf.add_header(header)
+        variants = [Variant(line, vcf) for line in body]
+    bps = [resolve_breakpoint(v) for v in variants]
+    sys.stderr.write("%d variants, sample ready\n" % len(bps))
+
+    # --- baseline: float64 per-read oracle on a prefix
+    oracle = OracleEngine([sample])
+    t0 = time.time()
+    for bp in bps[:ORACLE_N]:
+        oracle.genotype_variant(bp)
+    oracle_vps = ORACLE_N / (time.time() - t0)
+    sys.stderr.write("oracle: %.2f variants/s\n" % oracle_vps)
+
+    # --- TPU engine: warmup (compile) then timed full run
+    engine = TpuEngine([sample], chunk_size=1024)
+    # warmup: first full-size chunk triggers the dominant-bucket compile
+    engine.genotype_chunk(bps[: min(1024, len(bps))])
+    t0 = time.time()
+    results = engine.genotype_all(bps)
+    dt = time.time() - t0
+    tpu_vps = len(bps) / dt
+    n_called = sum(1 for row in results if not row[0].null)
+    sys.stderr.write(
+        "tpu engine: %.2f variants/s (%.1fs total, %d/%d called)\n"
+        % (tpu_vps, dt, n_called, len(bps))
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "variants_per_s",
+                "value": round(tpu_vps, 2),
+                "unit": "variants/s",
+                "vs_baseline": round(tpu_vps / oracle_vps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,470 @@
+// bamcore: native BGZF + BAM record decoder → columnar buffers.
+//
+// The TPU-native counterpart of the reference's htslib dependency
+// (SURVEY.md §2.1 "Native components"): the reference delegates BGZF
+// inflate / record decode to htslib C via pysam; here the same layer is
+// a from-scratch C++17 core exposed through a plain C ABI (no pybind11
+// in this environment) and consumed by numpy/ctypes
+// (svtyper_tpu/bamio/native.py).
+//
+// Semantics contract: byte-identical columns to the pure-Python decoder
+// (svtyper_tpu/bamio/records.py); tests/test_native.py enforces it.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- handle
+
+struct SvtBam {
+  std::vector<uint8_t> buf;        // whole compressed file
+  uint64_t body_voffset = 0;       // first record (set by python)
+  // block inflate scratch
+  std::vector<uint8_t> ublock;     // current inflated block
+  size_t ublock_coffset = SIZE_MAX;
+  size_t ublock_next = 0;
+  std::string error;
+};
+
+static int inflate_block(SvtBam* h, size_t coffset) {
+  if (h->ublock_coffset == coffset) return 0;
+  const uint8_t* b = h->buf.data();
+  size_t n = h->buf.size();
+  if (coffset + 18 > n) { h->error = "offset past EOF"; return -1; }
+  if (b[coffset] != 0x1f || b[coffset + 1] != 0x8b) {
+    h->error = "bad gzip magic"; return -1;
+  }
+  uint16_t xlen;
+  memcpy(&xlen, b + coffset + 10, 2);
+  size_t xoff = coffset + 12, xend = xoff + xlen;
+  size_t bsize = 0;
+  while (xoff + 4 <= xend) {
+    uint8_t si1 = b[xoff], si2 = b[xoff + 1];
+    uint16_t slen;
+    memcpy(&slen, b + xoff + 2, 2);
+    if (si1 == 66 && si2 == 67 && slen == 2) {
+      uint16_t bs;
+      memcpy(&bs, b + xoff + 4, 2);
+      bsize = (size_t)bs + 1;
+    }
+    xoff += 4 + slen;
+  }
+  if (!bsize) { h->error = "missing BC subfield"; return -1; }
+  uint32_t isize;
+  memcpy(&isize, b + coffset + bsize - 4, 4);
+  h->ublock.resize(isize);
+  if (isize) {
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) { h->error = "inflateInit"; return -1; }
+    zs.next_in = const_cast<uint8_t*>(b) + xend;
+    zs.avail_in = (uInt)(coffset + bsize - 8 - xend);
+    zs.next_out = h->ublock.data();
+    zs.avail_out = isize;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END) { h->error = "inflate failed"; return -1; }
+  }
+  h->ublock_coffset = coffset;
+  h->ublock_next = coffset + bsize;
+  return 0;
+}
+
+void* svt_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* h = new SvtBam();
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  h->buf.resize((size_t)sz);
+  if (sz && fread(h->buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    delete h;
+    return nullptr;
+  }
+  fclose(f);
+  return h;
+}
+
+void svt_close(void* vh) { delete static_cast<SvtBam*>(vh); }
+
+const char* svt_error(void* vh) {
+  return static_cast<SvtBam*>(vh)->error.c_str();
+}
+
+// ------------------------------------------------------------- stream
+
+struct VStream {
+  SvtBam* h;
+  size_t coffset;
+  size_t uoffset;
+  bool eof = false;
+
+  bool ensure() {  // make current block available; advance past empties
+    while (true) {
+      if (coffset >= h->buf.size()) { eof = true; return false; }
+      if (inflate_block(h, coffset) != 0) { eof = true; return false; }
+      if (uoffset < h->ublock.size()) return true;
+      // block exhausted (or empty EOF sentinel) → next block
+      coffset = h->ublock_next;
+      uoffset = 0;
+      if (h->ublock.empty() && coffset >= h->buf.size()) {
+        eof = true;
+        return false;
+      }
+    }
+  }
+
+  uint64_t voffset() const { return ((uint64_t)coffset << 16) | uoffset; }
+
+  // read exactly n bytes into dst; false on EOF
+  bool read(uint8_t* dst, size_t n) {
+    while (n) {
+      if (!ensure()) return false;
+      size_t avail = h->ublock.size() - uoffset;
+      size_t take = avail < n ? avail : n;
+      memcpy(dst, h->ublock.data() + uoffset, take);
+      uoffset += take;
+      dst += take;
+      n -= take;
+    }
+    return true;
+  }
+};
+
+// ------------------------------------------------------------- decode
+
+// FNV-1a 64 (matches svtyper_tpu.bamio.columns.qname_hash_bytes)
+static inline uint64_t fnv1a(const uint8_t* p, size_t n) {
+  uint64_t hh = 0xCBF29CE484222325ULL;
+  for (size_t i = 0; i < n; i++) {
+    hh ^= p[i];
+    hh *= 0x100000001B3ULL;
+  }
+  return hh;
+}
+
+struct CigarFeat {
+  int32_t ref_end, ref_aln, qlen, lsoft, rsoft, lclip, rclip;
+  // aligned blocks appended by caller
+};
+
+// out columns struct-of-arrays; capacities enforced by caller
+struct Cols {
+  int32_t *tid, *pos, *ref_end;
+  uint16_t* flag;
+  uint8_t* mapq;
+  int32_t *tlen, *mate_tid, *mate_pos;
+  uint64_t* qname_hash;
+  int32_t *left_soft, *right_soft, *ref_aln_len, *query_len, *lead_clip_q,
+      *lib_id;
+  uint8_t* has_sa;
+  int32_t *sa_tid, *sa_pos, *sa_end;
+  uint8_t* sa_is_reverse;
+  uint8_t* sa_mapq;
+  int32_t* sa_lead_clip_q;
+  uint64_t* voffset;
+  int64_t* blk_off;   // capacity n+1
+  int32_t *blk_start, *blk_end;  // capacity blk_cap
+};
+
+static const uint32_t OP_CQ = 0x193;  // query-consuming ops bitmask MIS=X: 0,1,4,7,8
+static const uint32_t OP_CR = 0x18d;  // ref: MDN=X: 0,2,3,7,8
+static const uint32_t OP_AL = 0x181;  // aligned: M,=,X
+
+struct SaInfo {
+  int32_t tid = -1, pos = -1, end = -1, lead = 0;
+  uint8_t rev = 0, mapq = 0;
+  bool present = false;
+};
+
+// parse first entry of SA:Z: value (rname,pos,strand,cigar,mapq,nm;)
+static void parse_sa(const uint8_t* s, const uint8_t* send,
+                     const char* const* ref_names, int n_ref, SaInfo* out) {
+  // rname
+  const uint8_t* p = s;
+  const uint8_t* q = p;
+  while (q < send && *q != ',') q++;
+  if (q >= send) return;
+  std::string rname((const char*)p, (size_t)(q - p));
+  int tid = -1;
+  for (int i = 0; i < n_ref; i++) {
+    if (rname == ref_names[i]) { tid = i; break; }
+  }
+  p = q + 1;
+  long pos = 0;
+  while (p < send && *p >= '0' && *p <= '9') pos = pos * 10 + (*p++ - '0');
+  if (p >= send || *p != ',') return;
+  p++;
+  if (p >= send) return;
+  uint8_t rev = (*p == '-');
+  p++;
+  if (p >= send || *p != ',') return;
+  p++;
+  // cigar
+  int32_t ref_len = 0, lclip = 0, rclip = 0, pend_clip = 0;
+  bool seen_core = false;
+  long num = 0;
+  while (p < send && *p != ',') {
+    char c = (char)*p++;
+    if (c >= '0' && c <= '9') {
+      num = num * 10 + (c - '0');
+      continue;
+    }
+    int op;
+    switch (c) {
+      case 'M': op = 0; break;
+      case 'I': op = 1; break;
+      case 'D': op = 2; break;
+      case 'N': op = 3; break;
+      case 'S': op = 4; break;
+      case 'H': op = 5; break;
+      case 'P': op = 6; break;
+      case '=': op = 7; break;
+      case 'X': op = 8; break;
+      default: return;
+    }
+    if (op == 4 || op == 5) {
+      if (!seen_core) lclip += (int32_t)num;
+      else pend_clip += (int32_t)num;
+    } else {
+      if (op != 6) seen_core = true;
+      if (pend_clip && seen_core) { pend_clip = 0; }  // clips inside? malformed
+      if (OP_CR & (1u << op)) ref_len += (int32_t)num;
+    }
+    num = 0;
+  }
+  rclip = pend_clip;
+  long mq = 0;
+  if (p < send && *p == ',') {
+    p++;
+    while (p < send && *p >= '0' && *p <= '9') mq = mq * 10 + (*p++ - '0');
+  }
+  out->present = true;
+  out->tid = tid;
+  out->pos = (int32_t)(pos - 1);
+  out->end = (int32_t)(pos - 1 + ref_len);
+  out->rev = rev;
+  out->mapq = (uint8_t)mq;
+  out->lead = rev ? rclip : lclip;
+}
+
+// Decode records; returns count, or -1 on error, -2 when capacity hit
+// (caller re-invokes with bigger buffers from the returned resume state).
+long svt_decode(void* vh,
+                uint64_t start_voffset,
+                uint64_t stop_voffset,   // UINT64_MAX = none
+                int64_t max_records,     // -1 = none
+                int32_t region_tid, int64_t region_start, int64_t region_end,
+                int32_t keep_unmapped,
+                const char* const* ref_names, int32_t n_ref,
+                const char* const* rg_names, int32_t n_rg,
+                int64_t cap_rows, int64_t cap_blocks,
+                Cols* out,
+                uint64_t* out_next_voffset,
+                int64_t* out_seen,
+                int64_t* out_rows) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  VStream vs{h, (size_t)(start_voffset >> 16), (size_t)(start_voffset & 0xFFFF)};
+  long n = 0;
+  int64_t blk_n = 0;
+  int64_t seen = 0;
+  out->blk_off[0] = 0;
+  std::vector<uint8_t> rec;
+  std::vector<int32_t> bstart, bend;
+  bool have_region = region_tid >= 0;
+  while (true) {
+    if (!vs.ensure()) break;
+    uint64_t vo = vs.voffset();
+    if (stop_voffset != UINT64_MAX && vo >= stop_voffset) break;
+    if (max_records >= 0 && seen >= max_records) break;
+    uint8_t szb[4];
+    if (!vs.read(szb, 4)) break;
+    int32_t block_size;
+    memcpy(&block_size, szb, 4);
+    if (block_size < 32) { h->error = "bad record size"; return -1; }
+    rec.resize((size_t)block_size);
+    if (!vs.read(rec.data(), (size_t)block_size)) {
+      h->error = "truncated record";
+      return -1;
+    }
+    int32_t tid, pos, l_seq, mtid, mpos, tlen;
+    memcpy(&tid, rec.data(), 4);
+    memcpy(&pos, rec.data() + 4, 4);
+    uint8_t l_rn = rec[8], mapq = rec[9];
+    uint16_t n_cig, flag;
+    memcpy(&n_cig, rec.data() + 12, 2);
+    memcpy(&flag, rec.data() + 14, 2);
+    memcpy(&l_seq, rec.data() + 16, 4);
+    memcpy(&mtid, rec.data() + 20, 4);
+    memcpy(&mpos, rec.data() + 24, 4);
+    memcpy(&tlen, rec.data() + 28, 4);
+    seen++;
+    if (have_region && (tid != region_tid || pos >= region_end)) break;
+    if ((flag & 0x4) && !keep_unmapped) continue;
+
+    size_t off = 32;
+    const uint8_t* qname = rec.data() + off;
+    size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
+    off += l_rn;
+
+    // cigar walk
+    int32_t cur = pos, ref_aln = 0, qlen = 0;
+    int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
+    bstart.clear();
+    bend.clear();
+    int32_t open_start = INT32_MIN;
+    // leading clips
+    {
+      // first pass for features
+      size_t coff = off;
+      bool leading = true;
+      int32_t trail_clip = 0, trail_soft = 0;
+      for (uint16_t i = 0; i < n_cig; i++) {
+        uint32_t v;
+        memcpy(&v, rec.data() + coff, 4);
+        coff += 4;
+        uint32_t op = v & 0xF, len = v >> 4;
+        bool is_clip = (op == 4 || op == 5);
+        if (is_clip) {
+          if (leading) {
+            lclip += (int32_t)len;
+            if (op == 4) lsoft += (int32_t)len;
+          } else {
+            trail_clip += (int32_t)len;
+            if (op == 4) trail_soft += (int32_t)len;
+          }
+        } else if (op != 6) {
+          leading = false;
+          trail_clip = 0;
+          trail_soft = 0;
+        }
+        if (OP_CQ & (1u << op)) qlen += (int32_t)len;
+        if (OP_AL & (1u << op)) {
+          ref_aln += (int32_t)len;
+          if (open_start == INT32_MIN) open_start = cur;
+          cur += (int32_t)len;
+        } else if (OP_CR & (1u << op)) {
+          if (open_start != INT32_MIN) {
+            bstart.push_back(open_start);
+            bend.push_back(cur);
+            open_start = INT32_MIN;
+          }
+          cur += (int32_t)len;
+        }
+      }
+      rclip = trail_clip;
+      rsoft = trail_soft;
+    }
+    if (open_start != INT32_MIN) {
+      bstart.push_back(open_start);
+      bend.push_back(cur);
+    }
+    int32_t ref_end = cur;
+    off += 4ull * n_cig;
+    if (have_region && ref_end <= region_start) continue;
+    off += ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+
+    // aux tags: RG (Z), SA (Z)
+    int32_t lib = -1;
+    SaInfo sa;
+    {
+      size_t p = off, end_ = rec.size();
+      bool got_rg = false, got_sa = false;
+      while (p + 3 <= end_ && !(got_rg && got_sa)) {
+        uint8_t t0 = rec[p], t1 = rec[p + 1], typ = rec[p + 2];
+        p += 3;
+        switch (typ) {
+          case 'A': case 'c': case 'C': p += 1; break;
+          case 's': case 'S': p += 2; break;
+          case 'i': case 'I': case 'f': p += 4; break;
+          case 'Z': case 'H': {
+            size_t z = p;
+            while (z < end_ && rec[z]) z++;
+            if (t0 == 'R' && t1 == 'G' && typ == 'Z') {
+              got_rg = true;
+              std::string val((const char*)rec.data() + p, z - p);
+              for (int32_t r = 0; r < n_rg; r++) {
+                if (val == rg_names[r]) { lib = r; break; }
+              }
+            } else if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
+              got_sa = true;
+              const uint8_t* s = rec.data() + p;
+              const uint8_t* send = rec.data() + z;
+              const uint8_t* semi = s;
+              while (semi < send && *semi != ';') semi++;
+              parse_sa(s, semi, ref_names, n_ref, &sa);
+            }
+            p = z + 1;
+            break;
+          }
+          case 'B': {
+            if (p + 5 > end_) { p = end_; break; }
+            uint8_t sub = rec[p];
+            uint32_t cnt;
+            memcpy(&cnt, rec.data() + p + 1, 4);
+            size_t esz = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
+                         : (sub == 's' || sub == 'S')             ? 2
+                                                                  : 4;
+            p += 5 + (size_t)cnt * esz;
+            break;
+          }
+          default:
+            p = end_;  // unknown tag type: bail on tag scan
+        }
+      }
+    }
+
+    if (n >= cap_rows || blk_n + (int64_t)bstart.size() > cap_blocks) {
+      *out_next_voffset = vo;
+      *out_seen = seen - 1;  // this record not consumed
+      *out_rows = n;
+      return -2;
+    }
+
+    bool rev = (flag & 0x10) != 0;
+    out->tid[n] = tid;
+    out->pos[n] = pos;
+    out->ref_end[n] = ref_end;
+    out->flag[n] = flag;
+    out->mapq[n] = mapq;
+    out->tlen[n] = tlen;
+    out->mate_tid[n] = mtid;
+    out->mate_pos[n] = mpos;
+    out->qname_hash[n] = fnv1a(qname, qname_len);
+    out->left_soft[n] = lsoft;
+    out->right_soft[n] = rsoft;
+    out->ref_aln_len[n] = ref_aln;
+    out->query_len[n] = qlen ? qlen : l_seq;
+    out->lead_clip_q[n] = rev ? rclip : lclip;
+    out->lib_id[n] = lib;
+    out->has_sa[n] = sa.present ? 1 : 0;
+    out->sa_tid[n] = sa.present ? sa.tid : -1;
+    out->sa_pos[n] = sa.present ? sa.pos : -1;
+    out->sa_end[n] = sa.present ? sa.end : -1;
+    out->sa_is_reverse[n] = sa.present ? sa.rev : 0;
+    out->sa_mapq[n] = sa.present ? sa.mapq : 0;
+    out->sa_lead_clip_q[n] = sa.present ? sa.lead : 0;
+    out->voffset[n] = vo;
+    for (size_t i = 0; i < bstart.size(); i++) {
+      out->blk_start[blk_n + (int64_t)i] = bstart[i];
+      out->blk_end[blk_n + (int64_t)i] = bend[i];
+    }
+    blk_n += (int64_t)bstart.size();
+    out->blk_off[n + 1] = blk_n;
+    n++;
+  }
+  // normalize the resume position to a block start when at a boundary
+  *out_next_voffset = (!vs.eof && vs.ensure()) ? vs.voffset() : UINT64_MAX;
+  *out_seen = seen;
+  *out_rows = n;
+  return n;
+}
+
+}  // extern "C"

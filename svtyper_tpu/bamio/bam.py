@@ -46,8 +46,15 @@ class BamHeader:
 
 
 class BamFile:
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, use_native: Optional[bool] = None) -> None:
         self.path = path
+        # native C++ decoder unless disabled (env SVT_NO_NATIVE=1) or
+        # unavailable; falls back to the pure-Python decoder either way
+        if use_native is None:
+            use_native = os.environ.get("SVT_NO_NATIVE") != "1"
+        self._use_native = use_native
+        self._native = None
+        self._native_failed = False
         self._reader = BgzfReader(path)
         vs = VirtualStream(self._reader)
         magic = vs.read(4)
@@ -71,6 +78,23 @@ class BamFile:
             for i, rg in enumerate(self.header.read_groups)
         }
         self._bai: Optional[BaiIndex] = None
+
+    # -- native backend -----------------------------------------------------
+    def _get_native(self):
+        if self._native is not None or self._native_failed or not self._use_native:
+            return self._native
+        try:
+            from svtyper_tpu.bamio.native import NativeBam, get_lib
+
+            if get_lib() is None:
+                self._native_failed = True
+                return None
+            rg_names = [rg.get("ID", "") for rg in self.header.read_groups]
+            self._native = NativeBam(self.path, self.header.ref_names, rg_names)
+        except Exception:
+            self._native_failed = True
+            self._native = None
+        return self._native
 
     # -- index ------------------------------------------------------------
     @property
@@ -108,21 +132,37 @@ class BamFile:
         end = min(end, self.header.refs[tid][1])
         if end <= start:
             return ReadBatch(0)
+        native = self._get_native()
         batches = []
         for cb, ce in self.bai.query(tid, start, end):
-            vs = VirtualStream(self._reader, cb)
-            batch, _ = decode_stream(
-                vs,
-                self.header.ref_names,
-                self.rg_index,
-                stop_voffset=ce,
-                region=(tid, start, end),
-            )
+            if native is not None:
+                batch, _ = native.decode(
+                    cb, stop_voffset=ce, region=(tid, start, end),
+                    cap_hint=1024,
+                )
+            else:
+                vs = VirtualStream(self._reader, cb)
+                batch, _ = decode_stream(
+                    vs,
+                    self.header.ref_names,
+                    self.rg_index,
+                    stop_voffset=ce,
+                    region=(tid, start, end),
+                )
             batches.append(batch)
         return ReadBatch.concat(batches)
 
     def head(self, max_records: int, keep_unmapped: bool = True) -> ReadBatch:
         """First ``max_records`` records in file order (library bootstrap)."""
+        native = self._get_native()
+        if native is not None:
+            batch, _ = native.decode(
+                self._body_voffset,
+                max_records=max_records,
+                keep_unmapped=keep_unmapped,
+                cap_hint=max(min(max_records, 1 << 18), 256),
+            )
+            return batch
         vs = VirtualStream(self._reader, self._body_voffset)
         batch, _ = decode_stream(
             vs,
@@ -132,6 +172,38 @@ class BamFile:
             keep_unmapped=keep_unmapped,
         )
         return batch
+
+    def scan(
+        self,
+        voffset: Optional[int] = None,
+        max_records: Optional[int] = None,
+        keep_unmapped: bool = True,
+    ) -> Tuple[ReadBatch, int, Optional[int]]:
+        """Sequential chunk scan: (batch, records_seen, next_voffset|None).
+
+        Start at ``voffset`` (default: first record). Used by the
+        library-stats bootstrap (SURVEY.md §3.4).
+        """
+        if voffset is None:
+            voffset = self._body_voffset
+        native = self._get_native()
+        if native is not None:
+            return native.decode_resumable(
+                voffset,
+                max_records=max_records,
+                keep_unmapped=keep_unmapped,
+                cap_hint=max(min(max_records or 4096, 1 << 18), 256),
+            )
+        vs = VirtualStream(self._reader, voffset)
+        batch, seen = decode_stream(
+            vs,
+            self.header.ref_names,
+            self.rg_index,
+            max_records=max_records,
+            keep_unmapped=keep_unmapped,
+        )
+        nxt = vs.voffset if vs.normalize() else None
+        return batch, seen, nxt
 
     def raw_records(self, voffsets: List[int]) -> List[bytes]:
         """Raw record bytes at the given virtual offsets (for ``-w``)."""

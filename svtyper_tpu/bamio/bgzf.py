@@ -113,6 +113,14 @@ class VirtualStream:
     def voffset(self) -> int:
         return (self.coffset << 16) | self.uoffset
 
+    def normalize(self) -> bool:
+        """Canonicalize a block-boundary position to (next_block, 0) —
+        the convention of the writer and BAI chunks. False at EOF."""
+        while self.uoffset >= len(self._data):
+            if not self._advance_block():
+                return False
+        return True
+
     def _advance_block(self) -> bool:
         if self._next >= self.reader.file_size:
             return False

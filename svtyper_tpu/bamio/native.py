@@ -1,0 +1,244 @@
+"""ctypes bindings for the C++ BAM decoder (``_native/bamcore.cpp``).
+
+Auto-builds ``libsvtbam.so`` with make on first use (g++ + zlib are in
+the base image); every entry point degrades to the pure-Python decoder
+when the build or load fails, so the framework never hard-depends on
+the native core.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import os
+import subprocess
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from svtyper_tpu.bamio.columns import ReadBatch
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+_SO = os.path.join(_DIR, "libsvtbam.so")
+_lock = threading.Lock()
+_lib = None
+_load_failed = False
+
+
+class _Cols(C.Structure):
+    _fields_ = [
+        ("tid", C.POINTER(C.c_int32)),
+        ("pos", C.POINTER(C.c_int32)),
+        ("ref_end", C.POINTER(C.c_int32)),
+        ("flag", C.POINTER(C.c_uint16)),
+        ("mapq", C.POINTER(C.c_uint8)),
+        ("tlen", C.POINTER(C.c_int32)),
+        ("mate_tid", C.POINTER(C.c_int32)),
+        ("mate_pos", C.POINTER(C.c_int32)),
+        ("qname_hash", C.POINTER(C.c_uint64)),
+        ("left_soft", C.POINTER(C.c_int32)),
+        ("right_soft", C.POINTER(C.c_int32)),
+        ("ref_aln_len", C.POINTER(C.c_int32)),
+        ("query_len", C.POINTER(C.c_int32)),
+        ("lead_clip_q", C.POINTER(C.c_int32)),
+        ("lib_id", C.POINTER(C.c_int32)),
+        ("has_sa", C.POINTER(C.c_uint8)),
+        ("sa_tid", C.POINTER(C.c_int32)),
+        ("sa_pos", C.POINTER(C.c_int32)),
+        ("sa_end", C.POINTER(C.c_int32)),
+        ("sa_is_reverse", C.POINTER(C.c_uint8)),
+        ("sa_mapq", C.POINTER(C.c_uint8)),
+        ("sa_lead_clip_q", C.POINTER(C.c_int32)),
+        ("voffset", C.POINTER(C.c_uint64)),
+        ("blk_off", C.POINTER(C.c_int64)),
+        ("blk_start", C.POINTER(C.c_int32)),
+        ("blk_end", C.POINTER(C.c_int32)),
+    ]
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libsvtbam.so"],
+            cwd=_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None (Python fallback)."""
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not os.path.exists(_SO) and not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = C.CDLL(_SO)
+        except OSError:
+            _load_failed = True
+            return None
+        lib.svt_open.restype = C.c_void_p
+        lib.svt_open.argtypes = [C.c_char_p]
+        lib.svt_close.argtypes = [C.c_void_p]
+        lib.svt_error.restype = C.c_char_p
+        lib.svt_error.argtypes = [C.c_void_p]
+        lib.svt_decode.restype = C.c_long
+        lib.svt_decode.argtypes = [
+            C.c_void_p,
+            C.c_uint64, C.c_uint64, C.c_int64,
+            C.c_int32, C.c_int64, C.c_int64,
+            C.c_int32,
+            C.POINTER(C.c_char_p), C.c_int32,
+            C.POINTER(C.c_char_p), C.c_int32,
+            C.c_int64, C.c_int64,
+            C.POINTER(_Cols),
+            C.POINTER(C.c_uint64),
+            C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+_COL_DTYPES = [
+    ("tid", np.int32), ("pos", np.int32), ("ref_end", np.int32),
+    ("flag", np.uint16), ("mapq", np.uint8), ("tlen", np.int32),
+    ("mate_tid", np.int32), ("mate_pos", np.int32),
+    ("qname_hash", np.uint64), ("left_soft", np.int32),
+    ("right_soft", np.int32), ("ref_aln_len", np.int32),
+    ("query_len", np.int32), ("lead_clip_q", np.int32),
+    ("lib_id", np.int32), ("has_sa", np.uint8), ("sa_tid", np.int32),
+    ("sa_pos", np.int32), ("sa_end", np.int32), ("sa_is_reverse", np.uint8),
+    ("sa_mapq", np.uint8), ("sa_lead_clip_q", np.int32),
+    ("voffset", np.uint64),
+]
+
+
+def _char_pp(strings: List[str]):
+    arr = (C.c_char_p * max(len(strings), 1))()
+    for i, s in enumerate(strings):
+        arr[i] = s.encode()
+    return arr
+
+
+class NativeBam:
+    """One opened BAM in the native core (compressed bytes live in C++)."""
+
+    def __init__(self, path: str, ref_names: List[str], rg_names: List[str]):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native bamcore unavailable")
+        self._lib = lib
+        self._h = lib.svt_open(path.encode())
+        if not self._h:
+            raise IOError("svt_open failed: %s" % path)
+        self._refs = _char_pp(ref_names)
+        self._n_ref = len(ref_names)
+        self._rgs = _char_pp(rg_names)
+        self._n_rg = len(rg_names)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.svt_close(h)
+            self._h = None
+
+    def decode(
+        self,
+        start_voffset: int,
+        stop_voffset: Optional[int] = None,
+        max_records: Optional[int] = None,
+        region: Optional[Tuple[int, int, int]] = None,
+        keep_unmapped: bool = False,
+        cap_hint: int = 4096,
+    ) -> Tuple[ReadBatch, int]:
+        """Mirror of ``records.decode_stream`` (same outputs)."""
+        batch, seen, _ = self.decode_resumable(
+            start_voffset, stop_voffset, max_records, region, keep_unmapped,
+            cap_hint,
+        )
+        return batch, seen
+
+    def decode_resumable(
+        self,
+        start_voffset: int,
+        stop_voffset: Optional[int] = None,
+        max_records: Optional[int] = None,
+        region: Optional[Tuple[int, int, int]] = None,
+        keep_unmapped: bool = False,
+        cap_hint: int = 4096,
+    ) -> Tuple[ReadBatch, int, Optional[int]]:
+        """Like decode(), plus the next voffset (None at EOF)."""
+        parts: List[Dict[str, np.ndarray]] = []
+        seen_total = 0
+        vo = start_voffset
+        cap = max(cap_hint, 256)
+        remaining = max_records
+        while True:
+            bufs = {name: np.empty(cap, dtype=dt) for name, dt in _COL_DTYPES}
+            blk_cap = cap * 2
+            blk_off = np.empty(cap + 1, dtype=np.int64)
+            blk_start = np.empty(blk_cap, dtype=np.int32)
+            blk_end = np.empty(blk_cap, dtype=np.int32)
+            cols = _Cols()
+            for (name, _dt), (fname, ftype) in zip(_COL_DTYPES, _Cols._fields_):
+                setattr(cols, fname, bufs[name].ctypes.data_as(ftype))
+            cols.blk_off = blk_off.ctypes.data_as(C.POINTER(C.c_int64))
+            cols.blk_start = blk_start.ctypes.data_as(C.POINTER(C.c_int32))
+            cols.blk_end = blk_end.ctypes.data_as(C.POINTER(C.c_int32))
+            next_vo = C.c_uint64(0)
+            seen = C.c_int64(0)
+            nrows = C.c_int64(0)
+            rtid, rlo, rhi = region if region is not None else (-1, 0, 0)
+            n = self._lib.svt_decode(
+                self._h,
+                vo,
+                stop_voffset if stop_voffset is not None else 2**64 - 1,
+                remaining if remaining is not None else -1,
+                rtid, rlo, rhi,
+                1 if keep_unmapped else 0,
+                self._refs, self._n_ref,
+                self._rgs, self._n_rg,
+                cap, blk_cap,
+                C.byref(cols),
+                C.byref(next_vo),
+                C.byref(seen),
+                C.byref(nrows),
+            )
+            if n == -1:
+                raise ValueError(
+                    self._lib.svt_error(self._h).decode() or "decode error"
+                )
+            rows = int(nrows.value)
+            d = {name: bufs[name][:rows].copy() for name, _ in _COL_DTYPES}
+            nblk = int(blk_off[rows])
+            d["blk_off"] = blk_off[: rows + 1].copy()
+            d["blk_start"] = blk_start[:nblk].copy()
+            d["blk_end"] = blk_end[:nblk].copy()
+            parts.append(d)
+            seen_total += int(seen.value)
+            if n != -2:
+                break
+            vo = int(next_vo.value)
+            if remaining is not None:
+                remaining -= int(seen.value)
+                if remaining <= 0:
+                    break
+            cap *= 2
+        if len(parts) == 1:
+            batch = ReadBatch.from_columns(parts[0])
+        else:
+            batch = ReadBatch.concat(
+                [ReadBatch.from_columns(p) for p in parts]
+            )
+        final_vo = int(next_vo.value)
+        return batch, seen_total, None if final_vo == 2**64 - 1 else final_vo

@@ -108,6 +108,10 @@ class _Cols:
             k: np.array(v) if v else np.zeros(0)
             for k, v in self.__dict__.items()
         }
+        # plain np.array() on ints > 2**63 falls back to float64 and
+        # silently rounds the low bits — force the unsigned dtypes
+        d["qname_hash"] = np.array(self.qname_hash, dtype=np.uint64)
+        d["voffset"] = np.array(self.voffset, dtype=np.uint64)
         d["blk_off"] = np.array(self.blk_off, dtype=np.int64)
         return ReadBatch.from_columns(d)
 
@@ -135,6 +139,8 @@ def decode_stream(
         if stop_voffset is not None and vs.voffset >= stop_voffset:
             break
         if max_records is not None and seen >= max_records:
+            break
+        if not vs.normalize():
             break
         vo = vs.voffset
         head = vs.read(4)

@@ -204,17 +204,10 @@ class Sample:
         per_lib_rlen: Dict[str, int] = {n: 0 for n in lib_names}
         per_lib_count: Dict[str, int] = {n: 0 for n in lib_names}
         chunk = 262_144
-        from svtyper_tpu.bamio.bgzf import VirtualStream
-        from svtyper_tpu.bamio.records import decode_stream
-
-        vs = VirtualStream(bam._reader, bam._body_voffset)
+        voffset = None
         while counted < num_samp:
-            batch, seen = decode_stream(
-                vs,
-                bam.header.ref_names,
-                bam.rg_index,
-                max_records=chunk,
-                keep_unmapped=True,
+            batch, seen, voffset = bam.scan(
+                voffset, max_records=chunk, keep_unmapped=True
             )
             if seen == 0:
                 break
@@ -246,7 +239,7 @@ class Sample:
                         per_lib_rlen[lname], int(ql[sel].max())
                     )
                     per_lib_count[lname] += int(sel.sum())
-            if seen < chunk:
+            if seen < chunk or voffset is None:
                 break
 
         total = max(counted, 1)

@@ -1,0 +1,99 @@
+"""C++ decoder vs pure-Python decoder: byte-identical columns."""
+
+import numpy as np
+import pytest
+
+from svtyper_tpu.bamio.bam import BamFile
+from svtyper_tpu.bamio.columns import FIELD_NAMES
+from svtyper_tpu.bamio.native import get_lib
+from svtyper_tpu.simulate import Event, SimConfig, simulate_events
+
+pytestmark = pytest.mark.skipif(
+    get_lib() is None, reason="native bamcore not built"
+)
+
+REFS = [("chr1", 6_000_000), ("chr2", 2_000_000)]
+
+
+@pytest.fixture(scope="module")
+def bam_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("native") / "sim.bam")
+    events = [
+        Event("DEL", "chr1", 1_000_000, 1_003_000, "0/1"),
+        Event("DUP", "chr1", 2_000_000, 2_002_000, "1/1"),
+        Event("INV", "chr1", 3_000_000, 3_002_500, "0/1"),
+        Event("BND", "chr1", 4_000_000, 500_000, "0/1", chrom2="chr2"),
+    ]
+    simulate_events(path, REFS, events, SimConfig(depth=30), seed=13,
+                    extra_background=2000)
+    return path
+
+
+def _assert_batches_equal(a, b):
+    assert a.n == b.n
+    for name in FIELD_NAMES:
+        np.testing.assert_array_equal(
+            getattr(a, name), getattr(b, name), err_msg=name
+        )
+    np.testing.assert_array_equal(a.blk_off, b.blk_off)
+    np.testing.assert_array_equal(a.blk_start, b.blk_start)
+    np.testing.assert_array_equal(a.blk_end, b.blk_end)
+
+
+def test_fetch_equivalence(bam_path):
+    nat = BamFile(bam_path, use_native=True)
+    py = BamFile(bam_path, use_native=False)
+    assert nat._get_native() is not None
+    for chrom, lo, hi in [
+        ("chr1", 999_000, 1_001_000),
+        ("chr1", 1_002_000, 1_004_000),
+        ("chr1", 0, 6_000_000),
+        ("chr2", 499_000, 501_000),
+        ("chr1", 5_900_000, 6_000_000),
+    ]:
+        _assert_batches_equal(nat.fetch(chrom, lo, hi), py.fetch(chrom, lo, hi))
+
+
+def test_head_equivalence(bam_path):
+    nat = BamFile(bam_path, use_native=True)
+    py = BamFile(bam_path, use_native=False)
+    for n in (10, 1000, 10**6):
+        _assert_batches_equal(nat.head(n), py.head(n))
+
+
+def test_scan_resume_equivalence(bam_path):
+    nat = BamFile(bam_path, use_native=True)
+    py = BamFile(bam_path, use_native=False)
+    vo_n = vo_p = None
+    while True:
+        bn, sn, vo_n = nat.scan(vo_n, max_records=500)
+        bp, sp, vo_p = py.scan(vo_p, max_records=500)
+        assert sn == sp
+        _assert_batches_equal(bn, bp)
+        assert (vo_n is None) == (vo_p is None)
+        if vo_n is None or sn == 0:
+            break
+        assert vo_n == vo_p
+
+
+def test_capacity_growth_path(bam_path):
+    """Tiny cap_hint forces the -2 resume path repeatedly."""
+    nat = BamFile(bam_path, use_native=True)
+    native = nat._get_native()
+    big = nat.fetch("chr1", 0, 6_000_000)
+    small, _ = native.decode(
+        nat.bai.query(0, 0, 6_000_000)[0][0],
+        stop_voffset=nat.bai.query(0, 0, 6_000_000)[-1][1],
+        region=(0, 0, 6_000_000),
+        cap_hint=7,
+    )
+    _assert_batches_equal(big, small)
+
+
+def test_sample_bootstrap_matches(bam_path):
+    from svtyper_tpu.stats import Sample
+
+    s_nat = Sample.from_bam(BamFile(bam_path, use_native=True), num_samp=50_000)
+    s_py = Sample.from_bam(BamFile(bam_path, use_native=False), num_samp=50_000)
+    assert s_nat.libraries[0].hist == s_py.libraries[0].hist
+    assert s_nat.libraries[0].mean == s_py.libraries[0].mean

@@ -1,0 +1,85 @@
+"""Mesh sharding: 8-virtual-device shard_map ≡ single-device results."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from svtyper_tpu.evidence.device import classify
+from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
+from svtyper_tpu.parallel import (
+    make_mesh,
+    make_sharded_step,
+    merge_ordered,
+    shard_slices,
+    stack_shards,
+)
+from svtyper_tpu.parallel.synth import make_synthetic_chunk
+
+
+def test_shard_slices():
+    assert shard_slices(10, 4) == [(0, 3), (3, 6), (6, 8), (8, 10)]
+    assert shard_slices(8, 8) == [(i, i + 1) for i in range(8)]
+    assert shard_slices(3, 8)[-1] == (3, 3)
+
+
+def test_merge_ordered():
+    sl = shard_slices(10, 3)
+    rows = [np.arange(lo, hi) for lo, hi in sl]
+    merged = merge_ordered(rows, sl)
+    assert merged.tolist() == list(range(10))
+    with pytest.raises(AssertionError):
+        merge_ordered([rows[1], rows[0], rows[2]], sl)
+
+
+def test_sharded_step_matches_local():
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    n_var = 8
+    shards, dens = [], None
+    for i in range(n_dev):
+        chunk, dens = make_synthetic_chunk(n_var=n_var, frags_per_var=2 + i % 3)
+        shards.append(chunk)
+    stacked = stack_shards(shards)
+    dtype = jnp.float64
+    step = make_sharded_step(mesh, n_var, dtype=dtype)
+    lcf = jnp.asarray(log_choose_table(1 << 12, use_f64=True))
+    dens_stack = jnp.asarray(np.stack([dens] * n_dev), dtype=dtype)
+    out = jax.device_get(
+        step(stacked["reads"], stacked["pairs"], stacked["variants"],
+             dens_stack, lcf)
+    )
+    assert out["gt_idx"].shape == (n_dev, n_var)
+
+    # per-shard local recomputation must agree exactly
+    for d, chunk in enumerate(shards):
+        counts = classify(
+            {k: jnp.asarray(v) for k, v in chunk.reads.items()},
+            {k: jnp.asarray(v) for k, v in chunk.pairs.items()},
+            {k: jnp.asarray(v) for k, v in chunk.variants.items()},
+            jnp.asarray(dens, dtype=dtype),
+            n_var, 20, dtype=dtype,
+        )
+        local = jax.device_get(
+            genotype_batch(
+                counts,
+                jnp.asarray(chunk.variants["is_dup"]),
+                jnp.asarray(chunk.variants["force_null"]),
+                lcf,
+            )
+        )
+        np.testing.assert_array_equal(out["gt_idx"][d], local["gt_idx"])
+        # different XLA programs may fuse/reassociate differently; the
+        # formatted-output surface (%.0f GLs) is what parity guards
+        np.testing.assert_allclose(out["gl"][d], local["gl"], rtol=1e-12)
+
+
+def test_graft_entry_single_and_multi():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.device_get(jax.jit(fn)(*args))
+    assert out["gt_idx"].shape[0] == 64
+    assert not out["null"].any()
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(4)
