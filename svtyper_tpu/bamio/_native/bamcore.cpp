@@ -29,6 +29,10 @@ struct SvtBam {
   size_t ublock_coffset = SIZE_MAX;
   size_t ublock_next = 0;
   std::string error;
+  // name tables cached via svt_set_names (used by svt_fetch_many)
+  std::vector<std::string> ref_cache, rg_cache;
+  std::vector<const char*> ref_ptrs;
+  int32_t n_rg_cached = 0;
 };
 
 static int inflate_block(SvtBam* h, size_t coffset) {
@@ -255,6 +259,15 @@ static void parse_sa(const uint8_t* s, const uint8_t* send,
   out->lead = rev ? rclip : lclip;
 }
 
+static void parse_sa(const uint8_t* s, const uint8_t* send,
+                     const char* const* ref_names, int n_ref, SaInfo* out);
+
+// parse_sa against the handle's cached reference-name table
+static void parse_sa_cached(SvtBam* h, const uint8_t* s, const uint8_t* send,
+                            SaInfo* out) {
+  parse_sa(s, send, h->ref_ptrs.data(), (int)h->ref_ptrs.size(), out);
+}
+
 // Decode records; returns count, or -1 on error, -2 when capacity hit
 // (caller re-invokes with bigger buffers from the returned resume state).
 long svt_decode(void* vh,
@@ -465,6 +478,241 @@ long svt_decode(void* vh,
   *out_seen = seen;
   *out_rows = n;
   return n;
+}
+
+// Batched fetch: decode many (region × chunk-range) queries in ONE call,
+// tagging every row with its query id. This is the host hot path for
+// chunked genotyping (svtyper_tpu/evidence/extract.py): it replaces
+// thousands of per-window Python→ctypes round trips per variant chunk.
+//
+// ranges are flat [beg,end) voffset pairs; query q owns
+// ranges[range_off[q] .. range_off[q+1]). Returns rows, or -1 on error,
+// -2 when capacity was hit (resume via out_state = {query, range, voffset}).
+long svt_fetch_many(void* vh,
+                    int64_t n_queries,
+                    const int64_t* region_tid,
+                    const int64_t* region_start,
+                    const int64_t* region_end,
+                    const int64_t* range_off,
+                    const uint64_t* range_beg,
+                    const uint64_t* range_end_,
+                    // resume state (query_idx, range_idx, voffset); pass
+                    // {0,0,UINT64_MAX} to start fresh
+                    int64_t* io_query, int64_t* io_range, uint64_t* io_voffset,
+                    int64_t cap_rows, int64_t cap_blocks,
+                    Cols* out, int32_t* out_query_id, int64_t* out_rows) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  long n = 0;
+  int64_t blk_n = 0;
+  out->blk_off[0] = 0;
+  std::vector<uint8_t> rec;
+  std::vector<int32_t> bstart, bend;
+  for (int64_t q = *io_query; q < n_queries; q++) {
+    int32_t rtid = (int32_t)region_tid[q];
+    int64_t rlo = region_start[q], rhi = region_end[q];
+    for (int64_t r = (q == *io_query ? *io_range : range_off[q]);
+         r < range_off[q + 1]; r++) {
+      uint64_t vo0 = range_beg[r];
+      if (q == *io_query && r == *io_range && *io_voffset != UINT64_MAX)
+        vo0 = *io_voffset;  // resuming mid-range
+      VStream vs{h, (size_t)(vo0 >> 16), (size_t)(vo0 & 0xFFFF)};
+      uint64_t stop = range_end_[r];
+      while (true) {
+        if (!vs.ensure()) break;
+        uint64_t vo = vs.voffset();
+        if (vo >= stop) break;
+        uint8_t szb[4];
+        if (!vs.read(szb, 4)) break;
+        int32_t block_size;
+        memcpy(&block_size, szb, 4);
+        if (block_size < 32) { h->error = "bad record size"; return -1; }
+        rec.resize((size_t)block_size);
+        if (!vs.read(rec.data(), (size_t)block_size)) {
+          h->error = "truncated record";
+          return -1;
+        }
+        int32_t tid, pos, l_seq, mtid, mpos, tlen;
+        memcpy(&tid, rec.data(), 4);
+        memcpy(&pos, rec.data() + 4, 4);
+        uint8_t l_rn = rec[8], mapq = rec[9];
+        uint16_t n_cig, flag;
+        memcpy(&n_cig, rec.data() + 12, 2);
+        memcpy(&flag, rec.data() + 14, 2);
+        memcpy(&l_seq, rec.data() + 16, 4);
+        memcpy(&mtid, rec.data() + 20, 4);
+        memcpy(&mpos, rec.data() + 24, 4);
+        memcpy(&tlen, rec.data() + 28, 4);
+        if (tid != rtid || pos >= rhi) break;  // coordinate-sorted
+        if (flag & 0x4) continue;              // fetch drops unmapped
+
+        size_t off = 32;
+        const uint8_t* qname = rec.data() + off;
+        size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
+        off += l_rn;
+
+        int32_t cur = pos, ref_aln = 0, qlen = 0;
+        int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
+        bstart.clear();
+        bend.clear();
+        int32_t open_start = INT32_MIN;
+        {
+          size_t coff = off;
+          bool leading = true;
+          int32_t trail_clip = 0, trail_soft = 0;
+          for (uint16_t i = 0; i < n_cig; i++) {
+            uint32_t v;
+            memcpy(&v, rec.data() + coff, 4);
+            coff += 4;
+            uint32_t op = v & 0xF, len = v >> 4;
+            bool is_clip = (op == 4 || op == 5);
+            if (is_clip) {
+              if (leading) {
+                lclip += (int32_t)len;
+                if (op == 4) lsoft += (int32_t)len;
+              } else {
+                trail_clip += (int32_t)len;
+                if (op == 4) trail_soft += (int32_t)len;
+              }
+            } else if (op != 6) {
+              leading = false;
+              trail_clip = 0;
+              trail_soft = 0;
+            }
+            if (OP_CQ & (1u << op)) qlen += (int32_t)len;
+            if (OP_AL & (1u << op)) {
+              ref_aln += (int32_t)len;
+              if (open_start == INT32_MIN) open_start = cur;
+              cur += (int32_t)len;
+            } else if (OP_CR & (1u << op)) {
+              if (open_start != INT32_MIN) {
+                bstart.push_back(open_start);
+                bend.push_back(cur);
+                open_start = INT32_MIN;
+              }
+              cur += (int32_t)len;
+            }
+          }
+          rclip = trail_clip;
+          rsoft = trail_soft;
+        }
+        if (open_start != INT32_MIN) {
+          bstart.push_back(open_start);
+          bend.push_back(cur);
+        }
+        int32_t ref_end = cur;
+        off += 4ull * n_cig;
+        if (ref_end <= rlo) continue;
+        off += ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+
+        int32_t lib = -1;
+        SaInfo sa;
+        {
+          size_t p = off, end_ = rec.size();
+          bool got_rg = false, got_sa = false;
+          while (p + 3 <= end_ && !(got_rg && got_sa)) {
+            uint8_t t0 = rec[p], t1 = rec[p + 1], typ = rec[p + 2];
+            p += 3;
+            switch (typ) {
+              case 'A': case 'c': case 'C': p += 1; break;
+              case 's': case 'S': p += 2; break;
+              case 'i': case 'I': case 'f': p += 4; break;
+              case 'Z': case 'H': {
+                size_t z = p;
+                while (z < end_ && rec[z]) z++;
+                if (t0 == 'R' && t1 == 'G' && typ == 'Z') {
+                  got_rg = true;
+                  std::string val((const char*)rec.data() + p, z - p);
+                  for (int32_t g = 0; g < h->n_rg_cached; g++) {
+                    if (val == h->rg_cache[g]) { lib = g; break; }
+                  }
+                } else if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
+                  got_sa = true;
+                  const uint8_t* s = rec.data() + p;
+                  const uint8_t* send = rec.data() + z;
+                  const uint8_t* semi = s;
+                  while (semi < send && *semi != ';') semi++;
+                  parse_sa_cached(h, s, semi, &sa);
+                }
+                p = z + 1;
+                break;
+              }
+              case 'B': {
+                if (p + 5 > end_) { p = end_; break; }
+                uint8_t sub = rec[p];
+                uint32_t cnt;
+                memcpy(&cnt, rec.data() + p + 1, 4);
+                size_t esz = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
+                             : (sub == 's' || sub == 'S')             ? 2
+                                                                      : 4;
+                p += 5 + (size_t)cnt * esz;
+                break;
+              }
+              default:
+                p = end_;
+            }
+          }
+        }
+
+        if (n >= cap_rows || blk_n + (int64_t)bstart.size() > cap_blocks) {
+          *io_query = q;
+          *io_range = r;
+          *io_voffset = vo;
+          *out_rows = n;
+          return -2;
+        }
+        bool rev = (flag & 0x10) != 0;
+        out->tid[n] = tid;
+        out->pos[n] = pos;
+        out->ref_end[n] = ref_end;
+        out->flag[n] = flag;
+        out->mapq[n] = mapq;
+        out->tlen[n] = tlen;
+        out->mate_tid[n] = mtid;
+        out->mate_pos[n] = mpos;
+        out->qname_hash[n] = fnv1a(qname, qname_len);
+        out->left_soft[n] = lsoft;
+        out->right_soft[n] = rsoft;
+        out->ref_aln_len[n] = ref_aln;
+        out->query_len[n] = qlen ? qlen : l_seq;
+        out->lead_clip_q[n] = rev ? rclip : lclip;
+        out->lib_id[n] = lib;
+        out->has_sa[n] = sa.present ? 1 : 0;
+        out->sa_tid[n] = sa.present ? sa.tid : -1;
+        out->sa_pos[n] = sa.present ? sa.pos : -1;
+        out->sa_end[n] = sa.present ? sa.end : -1;
+        out->sa_is_reverse[n] = sa.present ? sa.rev : 0;
+        out->sa_mapq[n] = sa.present ? sa.mapq : 0;
+        out->sa_lead_clip_q[n] = sa.present ? sa.lead : 0;
+        out->voffset[n] = vo;
+        out_query_id[n] = (int32_t)q;
+        for (size_t i = 0; i < bstart.size(); i++) {
+          out->blk_start[blk_n + (int64_t)i] = bstart[i];
+          out->blk_end[blk_n + (int64_t)i] = bend[i];
+        }
+        blk_n += (int64_t)bstart.size();
+        out->blk_off[n + 1] = blk_n;
+        n++;
+      }
+    }
+    *io_range = -1;  // next query starts at its own first range
+  }
+  *io_query = n_queries;
+  *io_voffset = UINT64_MAX;
+  *out_rows = n;
+  return n;
+}
+
+// cache ref/rg name tables on the handle so fetch_many needn't take them
+void svt_set_names(void* vh, const char* const* ref_names, int32_t n_ref,
+                   const char* const* rg_names, int32_t n_rg) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  h->ref_cache.clear();
+  for (int32_t i = 0; i < n_ref; i++) h->ref_cache.push_back(ref_names[i]);
+  h->ref_ptrs.clear();
+  for (auto& r : h->ref_cache) h->ref_ptrs.push_back(r.c_str());
+  h->rg_cache.clear();
+  for (int32_t i = 0; i < n_rg; i++) h->rg_cache.push_back(rg_names[i]);
+  h->n_rg_cached = n_rg;
 }
 
 }  // extern "C"

@@ -15,6 +15,8 @@ import re
 import struct
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from svtyper_tpu.bamio.bai import BaiIndex
 from svtyper_tpu.bamio.bgzf import BgzfReader, VirtualStream
 from svtyper_tpu.bamio.columns import ReadBatch
@@ -172,6 +174,54 @@ class BamFile:
             keep_unmapped=keep_unmapped,
         )
         return batch
+
+    def fetch_many(
+        self, regions: List[Tuple[str, int, int]]
+    ) -> Tuple[ReadBatch, "np.ndarray"]:
+        """Batched fetch of many regions in one native call.
+
+        Returns (batch, region_id per row); rows arrive grouped by
+        region in input order, each region's rows in coordinate order —
+        identical to concatenating single ``fetch`` results.
+        """
+        prepared = []  # (region_idx, tid, lo, hi, ranges)
+        for qi, (chrom, start, end) in enumerate(regions):
+            tid = self.header.name_to_tid.get(chrom)
+            if tid is None:
+                continue
+            lo = max(0, start)
+            hi = min(end, self.header.refs[tid][1])
+            if hi <= lo:
+                continue
+            ranges = self.bai.query(tid, lo, hi)
+            if ranges:
+                prepared.append((qi, tid, lo, hi, ranges))
+        if not prepared:
+            return ReadBatch(0), np.zeros(0, dtype=np.int32)
+        native = self._get_native()
+        if native is not None:
+            rt = np.array([p[1] for p in prepared], dtype=np.int64)
+            rs = np.array([p[2] for p in prepared], dtype=np.int64)
+            re_ = np.array([p[3] for p in prepared], dtype=np.int64)
+            counts = np.array([len(p[4]) for p in prepared], dtype=np.int64)
+            ro = np.zeros(len(prepared) + 1, dtype=np.int64)
+            np.cumsum(counts, out=ro[1:])
+            flat = [rng for p in prepared for rng in p[4]]
+            rb = np.array([c[0] for c in flat], dtype=np.uint64)
+            rn = np.array([c[1] for c in flat], dtype=np.uint64)
+            batch, qid = native.fetch_many(rt, rs, re_, ro, rb, rn)
+            remap = np.array([p[0] for p in prepared], dtype=np.int32)
+            return batch, remap[qid]
+        # python fallback: sequential fetches
+        batches, ids = [], []
+        for qi, tid, lo, hi, ranges in prepared:
+            b = self.fetch(self.header.ref_names[tid], lo, hi)
+            if b.n:
+                batches.append(b)
+                ids.append(np.full(b.n, qi, dtype=np.int32))
+        if not batches:
+            return ReadBatch(0), np.zeros(0, dtype=np.int32)
+        return ReadBatch.concat(batches), np.concatenate(ids)
 
     def scan(
         self,

@@ -91,6 +91,23 @@ def get_lib():
         lib.svt_close.argtypes = [C.c_void_p]
         lib.svt_error.restype = C.c_char_p
         lib.svt_error.argtypes = [C.c_void_p]
+        lib.svt_set_names.restype = None
+        lib.svt_set_names.argtypes = [
+            C.c_void_p,
+            C.POINTER(C.c_char_p), C.c_int32,
+            C.POINTER(C.c_char_p), C.c_int32,
+        ]
+        lib.svt_fetch_many.restype = C.c_long
+        lib.svt_fetch_many.argtypes = [
+            C.c_void_p,
+            C.c_int64,
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64),
+            C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
+            C.c_int64, C.c_int64,
+            C.POINTER(_Cols), C.POINTER(C.c_int32), C.POINTER(C.c_int64),
+        ]
         lib.svt_decode.restype = C.c_long
         lib.svt_decode.argtypes = [
             C.c_void_p,
@@ -145,6 +162,95 @@ class NativeBam:
         self._n_ref = len(ref_names)
         self._rgs = _char_pp(rg_names)
         self._n_rg = len(rg_names)
+        lib.svt_set_names(self._h, self._refs, self._n_ref, self._rgs,
+                          self._n_rg)
+        # persistent grow-only buffers for fetch_many
+        self._cap = 0
+        self._bufs = None
+        self._cols = None
+        self._qid = None
+        self._blk_off = None
+        self._blk_start = None
+        self._blk_end = None
+
+    def _ensure_bufs(self, cap: int) -> None:
+        if cap <= self._cap:
+            return
+        self._bufs = {name: np.empty(cap, dtype=dt) for name, dt in _COL_DTYPES}
+        self._qid = np.empty(cap, dtype=np.int32)
+        self._blk_off = np.empty(cap + 1, dtype=np.int64)
+        self._blk_start = np.empty(cap * 2, dtype=np.int32)
+        self._blk_end = np.empty(cap * 2, dtype=np.int32)
+        cols = _Cols()
+        for (name, _dt), (fname, ftype) in zip(_COL_DTYPES, _Cols._fields_):
+            setattr(cols, fname, self._bufs[name].ctypes.data_as(ftype))
+        cols.blk_off = self._blk_off.ctypes.data_as(C.POINTER(C.c_int64))
+        cols.blk_start = self._blk_start.ctypes.data_as(C.POINTER(C.c_int32))
+        cols.blk_end = self._blk_end.ctypes.data_as(C.POINTER(C.c_int32))
+        self._cols = cols
+        self._cap = cap
+
+    def fetch_many(
+        self,
+        region_tid: np.ndarray,
+        region_start: np.ndarray,
+        region_end: np.ndarray,
+        range_off: np.ndarray,
+        range_beg: np.ndarray,
+        range_end: np.ndarray,
+        cap_hint: int = 1 << 16,
+    ) -> Tuple[ReadBatch, np.ndarray]:
+        """Batched multi-region fetch → (batch, query_id per row)."""
+        q = len(region_tid)
+        rt = np.ascontiguousarray(region_tid, dtype=np.int64)
+        rs = np.ascontiguousarray(region_start, dtype=np.int64)
+        re_ = np.ascontiguousarray(region_end, dtype=np.int64)
+        ro = np.ascontiguousarray(range_off, dtype=np.int64)
+        rb = np.ascontiguousarray(range_beg, dtype=np.uint64)
+        rn = np.ascontiguousarray(range_end, dtype=np.uint64)
+        io_q = C.c_int64(0)
+        io_r = C.c_int64(0)
+        io_v = C.c_uint64(2**64 - 1)
+        nrows = C.c_int64(0)
+        parts: List[Dict[str, np.ndarray]] = []
+        qids: List[np.ndarray] = []
+        cap = max(self._cap, cap_hint, 1024)
+        while True:
+            self._ensure_bufs(cap)
+            n = self._lib.svt_fetch_many(
+                self._h, q,
+                rt.ctypes.data_as(C.POINTER(C.c_int64)),
+                rs.ctypes.data_as(C.POINTER(C.c_int64)),
+                re_.ctypes.data_as(C.POINTER(C.c_int64)),
+                ro.ctypes.data_as(C.POINTER(C.c_int64)),
+                rb.ctypes.data_as(C.POINTER(C.c_uint64)),
+                rn.ctypes.data_as(C.POINTER(C.c_uint64)),
+                C.byref(io_q), C.byref(io_r), C.byref(io_v),
+                self._cap, self._cap * 2,
+                C.byref(self._cols),
+                self._qid.ctypes.data_as(C.POINTER(C.c_int32)),
+                C.byref(nrows),
+            )
+            if n == -1:
+                raise ValueError(
+                    self._lib.svt_error(self._h).decode() or "fetch error"
+                )
+            rows = int(nrows.value)
+            d = {name: self._bufs[name][:rows].copy()
+                 for name, _ in _COL_DTYPES}
+            nblk = int(self._blk_off[rows])
+            d["blk_off"] = self._blk_off[: rows + 1].copy()
+            d["blk_start"] = self._blk_start[:nblk].copy()
+            d["blk_end"] = self._blk_end[:nblk].copy()
+            parts.append(d)
+            qids.append(self._qid[:rows].copy())
+            if n != -2:
+                break
+            cap = self._cap * 2
+        if len(parts) == 1:
+            return ReadBatch.from_columns(parts[0]), qids[0]
+        batch = ReadBatch.concat([ReadBatch.from_columns(p) for p in parts])
+        return batch, np.concatenate(qids)
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -181,21 +287,11 @@ class NativeBam:
         parts: List[Dict[str, np.ndarray]] = []
         seen_total = 0
         vo = start_voffset
-        cap = max(cap_hint, 256)
+        cap = max(self._cap, cap_hint, 256)
         remaining = max_records
+        next_vo = C.c_uint64(0)
         while True:
-            bufs = {name: np.empty(cap, dtype=dt) for name, dt in _COL_DTYPES}
-            blk_cap = cap * 2
-            blk_off = np.empty(cap + 1, dtype=np.int64)
-            blk_start = np.empty(blk_cap, dtype=np.int32)
-            blk_end = np.empty(blk_cap, dtype=np.int32)
-            cols = _Cols()
-            for (name, _dt), (fname, ftype) in zip(_COL_DTYPES, _Cols._fields_):
-                setattr(cols, fname, bufs[name].ctypes.data_as(ftype))
-            cols.blk_off = blk_off.ctypes.data_as(C.POINTER(C.c_int64))
-            cols.blk_start = blk_start.ctypes.data_as(C.POINTER(C.c_int32))
-            cols.blk_end = blk_end.ctypes.data_as(C.POINTER(C.c_int32))
-            next_vo = C.c_uint64(0)
+            self._ensure_bufs(cap)
             seen = C.c_int64(0)
             nrows = C.c_int64(0)
             rtid, rlo, rhi = region if region is not None else (-1, 0, 0)
@@ -208,8 +304,8 @@ class NativeBam:
                 1 if keep_unmapped else 0,
                 self._refs, self._n_ref,
                 self._rgs, self._n_rg,
-                cap, blk_cap,
-                C.byref(cols),
+                self._cap, self._cap * 2,
+                C.byref(self._cols),
                 C.byref(next_vo),
                 C.byref(seen),
                 C.byref(nrows),
@@ -219,11 +315,12 @@ class NativeBam:
                     self._lib.svt_error(self._h).decode() or "decode error"
                 )
             rows = int(nrows.value)
-            d = {name: bufs[name][:rows].copy() for name, _ in _COL_DTYPES}
-            nblk = int(blk_off[rows])
-            d["blk_off"] = blk_off[: rows + 1].copy()
-            d["blk_start"] = blk_start[:nblk].copy()
-            d["blk_end"] = blk_end[:nblk].copy()
+            d = {name: self._bufs[name][:rows].copy()
+                 for name, _ in _COL_DTYPES}
+            nblk = int(self._blk_off[rows])
+            d["blk_off"] = self._blk_off[: rows + 1].copy()
+            d["blk_start"] = self._blk_start[:nblk].copy()
+            d["blk_end"] = self._blk_end[:nblk].copy()
             parts.append(d)
             seen_total += int(seen.value)
             if n != -2:
@@ -233,7 +330,7 @@ class NativeBam:
                 remaining -= int(seen.value)
                 if remaining <= 0:
                     break
-            cap *= 2
+            cap = self._cap * 2
         if len(parts) == 1:
             batch = ReadBatch.from_columns(parts[0])
         else:

@@ -14,7 +14,7 @@ import numpy as np
 
 from svtyper_tpu.bamio.columns import FMUNMAP, FPAIRED, ReadBatch
 from svtyper_tpu.breakpoints import Breakpoint
-from svtyper_tpu.oracle.engine import Z_FLANK, gather_reads
+from svtyper_tpu.oracle.engine import Z_FLANK
 from svtyper_tpu.stats.library import Sample
 
 READ_FIELDS = [
@@ -126,9 +126,11 @@ def prepare_chunk(
     """
     n_var = len(bps)
     name_to_tid = sample.bam.header.name_to_tid
+    flank = sample.get_fetch_flank(z)
 
     v: Dict[str, List] = {name: [] for name, _ in VAR_FIELDS}
-    read_parts: List[Tuple[int, ReadBatch, np.ndarray]] = []
+    regions: List[Tuple[str, int, int]] = []
+    reg_var: List[int] = []
     for vi, bp in enumerate(bps):
         if bp is None:
             for name, _ in VAR_FIELDS:
@@ -137,11 +139,12 @@ def prepare_chunk(
             continue
         force_null = bp.ci_width() > max_ci_dist
         if not force_null:
-            batch, lib_idx = gather_reads(sample, bp, z)
-            if max_reads is not None and batch.n > max_reads:
-                force_null = True
-            elif batch.n:
-                read_parts.append((vi, batch, lib_idx))
+            for chrom, p0, ci in (
+                (bp.chrom_a, bp.pos_a, bp.ci_a),
+                (bp.chrom_b, bp.pos_b, bp.ci_b),
+            ):
+                regions.append((chrom, p0 + ci[0] - flank, p0 + ci[1] + flank + 1))
+                reg_var.append(vi)
         v["tid_a"].append(name_to_tid.get(bp.chrom_a, -1))
         v["pos_a"].append(bp.pos_a)
         v["cia0"].append(bp.ci_a[0])
@@ -163,17 +166,45 @@ def prepare_chunk(
         for name, dt in VAR_FIELDS
     }
 
-    # ---- flatten reads across variants
-    if read_parts:
-        var_of = np.concatenate(
-            [np.full(b.n, vi, dtype=np.int32) for vi, b, _ in read_parts]
+    # ---- one batched fetch for every window of the chunk
+    big, rid = sample.bam.fetch_many(regions)
+    var_of = (
+        np.asarray(reg_var, dtype=np.int32)[rid]
+        if big.n
+        else np.zeros(0, dtype=np.int32)
+    )
+    libs = np.zeros(0, dtype=np.int32)
+    if big.n:
+        # dedup (var, voffset) keeping first occurrence in row order —
+        # A-window rows precede B-window rows per variant, like the
+        # oracle's gather (svtyper_tpu/oracle/engine.py::gather_reads)
+        order = np.lexsort((np.arange(big.n), big.voffset, var_of))
+        vo_s = big.voffset[order]
+        va_s = var_of[order]
+        dup = np.concatenate(
+            ([False], (vo_s[1:] == vo_s[:-1]) & (va_s[1:] == va_s[:-1]))
         )
-        big = ReadBatch.concat([b for _, b, _ in read_parts])
-        libs = np.concatenate([l for _, _, l in read_parts])
-    else:
-        var_of = np.zeros(0, dtype=np.int32)
-        big = ReadBatch(0)
-        libs = np.zeros(0, dtype=np.int32)
+        keep_rows = np.sort(order[~dup])
+        big = big.take(keep_rows)
+        var_of = var_of[keep_rows]
+        # flag + inactive-library filter (SPEC.md §3)
+        lib_idx = sample.assign_libs(big)
+        skip = 0x100 | 0x200 | 0x400 | 0x800
+        keep = ((big.flag & skip) == 0) & sample.is_active_lib(lib_idx)
+        idx = np.flatnonzero(keep)
+        big = big.take(idx)
+        var_of = var_of[idx]
+        libs = lib_idx[idx]
+        # per-variant read cap → null genotype (SPEC.md §3)
+        if max_reads is not None and big.n:
+            per_var = np.bincount(var_of, minlength=n_var)
+            over = per_var > max_reads
+            if over.any():
+                variants["force_null"] = variants["force_null"] | over[:n_var]
+                sel = np.flatnonzero(~over[var_of])
+                big = big.take(sel)
+                var_of = var_of[sel]
+                libs = libs[sel]
 
     pa = variants["pos_a"][var_of] if big.n else np.zeros(0, dtype=np.int64)
     pb = variants["pos_b"][var_of] if big.n else np.zeros(0, dtype=np.int64)

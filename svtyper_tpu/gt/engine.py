@@ -29,6 +29,14 @@ from svtyper_tpu.stats.library import Sample
 
 MAX_N_TABLE = 1 << 17  # log-choose table span; QR+QA beyond this clamps
 
+# packed output layouts (one int32 matrix + one float matrix per chunk)
+INT_FIELDS = (
+    "null", "gt_idx", "gq", "qr", "qa", "dp", "ro", "ao",
+    "rs", "as_", "asc", "rp", "ap", "ab_valid",
+)
+_I = {k: i for i, k in enumerate(INT_FIELDS)}
+# float columns: gl0 gl1 gl2 sq ab c0..c4
+
 
 class TpuEngine:
     def __init__(
@@ -66,7 +74,7 @@ class TpuEngine:
             counts = classify(
                 reads, pairs, variants, dens, n_var, min_aligned, dtype=dtype
             )
-            return genotype_batch(
+            out = genotype_batch(
                 counts,
                 variants["is_dup"],
                 variants["force_null"],
@@ -74,6 +82,20 @@ class TpuEngine:
                 split_weight=sw,
                 disc_weight=dw,
             )
+            # pack into two arrays: one host transfer each instead of 18
+            ints = jnp.stack(
+                [out[k].astype(jnp.int32) for k in INT_FIELDS], axis=1
+            )
+            flts = jnp.concatenate(
+                [
+                    out["gl"],
+                    out["sq"][:, None],
+                    out["ab"][:, None],
+                    out["counts"],
+                ],
+                axis=1,
+            )
+            return ints, flts
 
         return step
 
@@ -106,7 +128,7 @@ class TpuEngine:
                 max_reads=self.max_reads,
                 max_ci_dist=self.max_ci_dist,
             )
-            out = self._step(
+            ints, flts = self._step(
                 {k: jnp.asarray(v) for k, v in chunk.reads.items()},
                 {k: jnp.asarray(v) for k, v in chunk.pairs.items()},
                 {k: jnp.asarray(v) for k, v in chunk.variants.items()},
@@ -114,7 +136,7 @@ class TpuEngine:
                 self._lcf,
                 n_var=chunk.n_var,
             )
-            per_sample.append(jax.device_get(out))
+            per_sample.append((np.asarray(ints), np.asarray(flts)))
         return [
             [_to_result(per_sample[si], vi) for si in range(len(self.samples))]
             for vi in range(len(bps))
@@ -129,18 +151,21 @@ class TpuEngine:
         return out
 
 
-def _to_result(arrs: Dict[str, np.ndarray], i: int) -> GenotypeResult:
+def _to_result(packed, i: int) -> GenotypeResult:
+    ints, flts = packed
+    row_i = ints[i]
+    row_f = flts[i]
     r = GenotypeResult()
-    r.counts = tuple(float(x) for x in arrs["counts"][i])
-    r.qr = int(arrs["qr"][i])
-    r.qa = int(arrs["qa"][i])
-    if bool(arrs["null"][i]):
+    r.counts = tuple(float(x) for x in row_f[5:10])
+    r.qr = int(row_i[_I["qr"]])
+    r.qa = int(row_i[_I["qa"]])
+    if row_i[_I["null"]]:
         return r
     r.null = False
-    r.gt_idx = int(arrs["gt_idx"][i])
+    r.gt_idx = int(row_i[_I["gt_idx"]])
     r.gt_string = GT_STRINGS[r.gt_idx]
-    r.gl = [float(x) for x in arrs["gl"][i]]
-    r.gq = int(arrs["gq"][i])
-    r.sq = float(arrs["sq"][i])
-    r.ab = float(arrs["ab"][i]) if bool(arrs["ab_valid"][i]) else None
+    r.gl = [float(row_f[0]), float(row_f[1]), float(row_f[2])]
+    r.gq = int(row_i[_I["gq"]])
+    r.sq = float(row_f[3])
+    r.ab = float(row_f[4]) if row_i[_I["ab_valid"]] else None
     return r
