@@ -63,6 +63,17 @@ def get_args(argv=None):
                    help="variants per device chunk [1024]")
     p.add_argument("--cores", type=int, default=None,
                    help="host-side prep threads (default: auto)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--checkpoint_dir", default=None, metavar="DIR",
+                   help="spill each genotyped chunk to DIR and resume a killed "
+                        "run at chunk granularity (same input + batch_size)")
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="split the variant set into N contiguous shards "
+                        "(multi-host data parallelism; each shard emits only "
+                        "its slice, concatenate shard outputs in order)")
+    p.add_argument("--shard_index", type=int, default=0,
+                   help="which shard this process genotypes [0]")
     return p.parse_args(argv)
 
 
@@ -84,6 +95,9 @@ def sv_genotype(
     engine_kind: str = "tpu",
     batch_size: int = 1024,
     verbose: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> None:
     """Library entry point (parity of ``classic.py::sv_genotype``)."""
     t0 = time.time()
@@ -138,7 +152,10 @@ def sv_genotype(
     sample_names = [s.name for s in samples]
     for name in sample_names:
         vcf.add_sample(name)
-    vcf_out.write(vcf.get_header())
+    if shard_index == 0:
+        # shards >0 emit body-only so that `cat shard0 shard1 ...` is
+        # byte-identical to the single-process output
+        vcf_out.write(vcf.get_header())
 
     writer_bams = None
     if alignment_outpath:
@@ -146,14 +163,36 @@ def sv_genotype(
 
         writer_bams = EvidenceWriter(alignment_outpath, samples)
 
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
     n_done = 0
+    chunk_idx = 0
     t_gt = time.time()
     pending: List[Variant] = []
+    # BND mate pairing (SPEC.md §2): genotype once per MATEID pair, copy
+    # the result row to the mate when it appears (records stay in input
+    # order; unpaired breakends are genotyped independently)
+    bnd_results: dict = {}
 
     def flush():
-        nonlocal n_done
+        nonlocal n_done, chunk_idx
         if not pending:
             return
+        # chunk checkpoint/resume (SURVEY.md §5): a completed chunk's
+        # formatted lines are spilled to a part file; a rerun with the
+        # same input and batch_size replays them without re-genotyping
+        part = None
+        if checkpoint_dir:
+            part = os.path.join(checkpoint_dir, "part_%06d.vcfpart" % chunk_idx)
+            chunk_idx += 1
+            if os.path.exists(part):
+                with open(part) as fh:
+                    for line in fh:
+                        vcf_out.write(line)
+                n_done += len(pending)
+                pending.clear()
+                return
         bps = [resolve_breakpoint(v) for v in pending]
         for v, bp in zip(pending, bps):
             if bp is None:
@@ -163,10 +202,17 @@ def sv_genotype(
                     % (v.var_id, svt)
                 )
         rows = run_chunk(bps)
+        out_lines: List[str] = []
         for v, bp, res_row in zip(pending, bps, rows):
             if bp is None:
-                vcf_out.write(v.get_var_string() + "\n")
+                out_lines.append(v.get_var_string() + "\n")
                 continue
+            if bp.svtype == "BND":
+                mate_id = v.get_info("MATEID")
+                if mate_id and mate_id in bnd_results:
+                    res_row = bnd_results.pop(mate_id)
+                else:
+                    bnd_results[v.var_id] = res_row
             apply_variant(v, sample_names, res_row, sum_quals=sum_quals)
             if debug:
                 for name, res in zip(sample_names, res_row):
@@ -175,9 +221,15 @@ def sv_genotype(
                         % (v.var_id, name, res.counts, res.qr, res.qa,
                            res.gt_string)
                     )
-            vcf_out.write(v.get_var_string() + "\n")
+            out_lines.append(v.get_var_string() + "\n")
             if writer_bams is not None:
                 writer_bams.add(bp)
+        vcf_out.writelines(out_lines)
+        if part is not None:
+            tmp = part + ".tmp"
+            with open(tmp, "w") as fh:
+                fh.writelines(out_lines)
+            os.replace(tmp, part)
         n_done += len(pending)
         pending.clear()
         if verbose:
@@ -187,6 +239,16 @@ def sv_genotype(
                 % (n_done, n_done / dt if dt > 0 else 0.0)
             )
 
+    # contiguous variant sharding for multi-host runs (SURVEY.md §2.1):
+    # this process emits only records in [shard, in input order; shard
+    # outputs concatenate to the single-host output byte-for-byte
+    from svtyper_tpu.parallel.multihost import shard_slices
+
+    if num_shards > 1:
+        body = list(body)
+        lo, hi = shard_slices(len(body), num_shards)[shard_index]
+        body = body[lo:hi]
+
     for line in body:
         pending.append(Variant(line, vcf))
         if len(pending) >= batch_size:
@@ -194,12 +256,28 @@ def sv_genotype(
     flush()
     if writer_bams is not None:
         writer_bams.close()
+    if verbose and hasattr(engine, "stats"):
+        st = engine.stats
+        dt = time.time() - t_gt
+        sys.stderr.write(
+            "summary: %d variants in %.2fs (%.1f variants/s) | "
+            "%d reads, %d pairs, %d chunks | prep %.2fs, device-sync %.2fs\n"
+            % (st["variants"], dt, st["variants"] / dt if dt > 0 else 0.0,
+               st["reads"], st["pairs"], st["chunks"],
+               st["prep_s"], st["sync_s"])
+        )
 
 
 def main(argv=None) -> int:
     args = get_args(argv)
     vcf_in = open(args.input_vcf) if args.input_vcf else sys.stdin
     vcf_out = open(args.output_vcf, "w") if args.output_vcf else sys.stdout
+    profile_ctx = None
+    if args.profile:
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
     try:
         sv_genotype(
             args.bam,
@@ -219,8 +297,13 @@ def main(argv=None) -> int:
             engine_kind=args.engine,
             batch_size=args.batch_size,
             verbose=args.verbose or args.debug,
+            checkpoint_dir=args.checkpoint_dir,
+            num_shards=args.num_shards,
+            shard_index=args.shard_index,
         )
     finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
         if args.input_vcf:
             vcf_in.close()
         if args.output_vcf:

@@ -271,8 +271,8 @@ def prepare_chunk(
     }
 
     # ---- pad to buckets; trash segment = n_var
-    r_pad = pad_reads or _bucket(max(big.n, 1))
-    f_pad = pad_pairs or _bucket(max(len(p_a), 1), floor=64)
+    r_pad = max(pad_reads or 0, _bucket(max(big.n, 1)))
+    f_pad = max(pad_pairs or 0, _bucket(max(len(p_a), 1), floor=64))
     reads = _pad(reads, READ_FIELDS_D, r_pad, {"var": n_var})
     pairs = _pad(
         pairs,

@@ -14,6 +14,7 @@ golden tests), float32 otherwise (TPU throughput runs).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -63,6 +64,17 @@ class TpuEngine:
         )
         self._dens_cache: Dict[int, jnp.ndarray] = {}
         self._step = self._build_step()
+        self._hw_reads = 0
+        self._hw_pairs = 0
+        # per-stage wall-time observability (SURVEY.md §5)
+        self.stats = {
+            "prep_s": 0.0,   # host: fetch + layout + dispatch
+            "sync_s": 0.0,   # device execution exposed at the sync point
+            "reads": 0,
+            "pairs": 0,
+            "chunks": 0,
+            "variants": 0,
+        }
 
     def _build_step(self):
         min_aligned = self.min_aligned
@@ -82,9 +94,12 @@ class TpuEngine:
                 split_weight=sw,
                 disc_weight=dw,
             )
-            # pack into two arrays: one host transfer each instead of 18
+            # pack EVERYTHING into one [N, 24] float matrix: a single
+            # host transfer per chunk (the tunnel to the TPU is
+            # latency-bound). Integer fields are exact in f32 up to
+            # 2^24 — far above any per-variant read count.
             ints = jnp.stack(
-                [out[k].astype(jnp.int32) for k in INT_FIELDS], axis=1
+                [out[k].astype(dtype) for k in INT_FIELDS], axis=1
             )
             flts = jnp.concatenate(
                 [
@@ -95,7 +110,7 @@ class TpuEngine:
                 ],
                 axis=1,
             )
-            return ints, flts
+            return jnp.concatenate([ints, flts], axis=1)
 
         return step
 
@@ -115,11 +130,16 @@ class TpuEngine:
             self._dens_cache[sample_idx] = d
         return d
 
-    def genotype_chunk(
-        self, bps: List[Optional[Breakpoint]]
-    ) -> List[List[GenotypeResult]]:
-        """→ results[variant][sample], matching OracleEngine layout."""
-        per_sample = []
+    def _dispatch(self, bps: List[Optional[Breakpoint]]):
+        """Host prep + async device dispatch (no sync) for one chunk."""
+        t0 = time.time()
+        n_real = len(bps)
+        # constant chunk geometry: pad short chunks with absent variants
+        # and reuse high-water read/pair buckets so recompiles stop once
+        # the largest shapes have been seen
+        if len(bps) < self.chunk_size:
+            bps = list(bps) + [None] * (self.chunk_size - len(bps))
+        arrs = []
         for si, sample in enumerate(self.samples):
             chunk = prepare_chunk(
                 sample,
@@ -127,45 +147,82 @@ class TpuEngine:
                 min_aligned=self.min_aligned,
                 max_reads=self.max_reads,
                 max_ci_dist=self.max_ci_dist,
+                pad_reads=self._hw_reads,
+                pad_pairs=self._hw_pairs,
             )
-            ints, flts = self._step(
-                {k: jnp.asarray(v) for k, v in chunk.reads.items()},
-                {k: jnp.asarray(v) for k, v in chunk.pairs.items()},
-                {k: jnp.asarray(v) for k, v in chunk.variants.items()},
-                self._dens_for(si),
-                self._lcf,
-                n_var=chunk.n_var,
+            self._hw_reads = max(self._hw_reads, len(chunk.reads["var"]))
+            self._hw_pairs = max(self._hw_pairs, len(chunk.pairs["var"]))
+            arrs.append(
+                self._step(
+                    {k: jnp.asarray(v) for k, v in chunk.reads.items()},
+                    {k: jnp.asarray(v) for k, v in chunk.pairs.items()},
+                    {k: jnp.asarray(v) for k, v in chunk.variants.items()},
+                    self._dens_for(si),
+                    self._lcf,
+                    n_var=chunk.n_var,
+                )
             )
-            per_sample.append((np.asarray(ints), np.asarray(flts)))
+            self.stats["reads"] += int(
+                np.count_nonzero(chunk.reads["var"] < chunk.n_var)
+            )
+            self.stats["pairs"] += int(
+                np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
+            )
+        self.stats["prep_s"] += time.time() - t0
+        self.stats["chunks"] += 1
+        self.stats["variants"] += n_real
+        return arrs
+
+    def _collect(self, n_bps: int, arrs) -> List[List[GenotypeResult]]:
+        t0 = time.time()
+        per_sample = [np.asarray(a) for a in arrs]  # sync point
+        self.stats["sync_s"] += time.time() - t0
         return [
-            [_to_result(per_sample[si], vi) for si in range(len(self.samples))]
-            for vi in range(len(bps))
+            [_to_result(ps, vi) for ps in per_sample]
+            for vi in range(n_bps)
         ]
+
+    def genotype_chunk(
+        self, bps: List[Optional[Breakpoint]]
+    ) -> List[List[GenotypeResult]]:
+        """→ results[variant][sample], matching OracleEngine layout."""
+        return self._collect(len(bps), self._dispatch(bps))
 
     def genotype_all(
         self, bps: List[Optional[Breakpoint]]
     ) -> List[List[GenotypeResult]]:
+        """Pipelined: chunk k+1's host prep overlaps chunk k's device
+        execution + result transfer (the device dispatch is async)."""
         out: List[List[GenotypeResult]] = []
+        pending = None
         for lo in range(0, len(bps), self.chunk_size):
-            out.extend(self.genotype_chunk(bps[lo : lo + self.chunk_size]))
+            chunk = bps[lo : lo + self.chunk_size]
+            arrs = self._dispatch(chunk)
+            if pending is not None:
+                out.extend(self._collect(*pending))
+            pending = (len(chunk), arrs)
+        if pending is not None:
+            out.extend(self._collect(*pending))
         return out
 
 
-def _to_result(packed, i: int) -> GenotypeResult:
-    ints, flts = packed
-    row_i = ints[i]
-    row_f = flts[i]
+_NI = len(INT_FIELDS)
+
+
+def _to_result(packed: np.ndarray, i: int) -> GenotypeResult:
+    row = packed[i]
+    row_f = row[_NI:]
     r = GenotypeResult()
     r.counts = tuple(float(x) for x in row_f[5:10])
-    r.qr = int(row_i[_I["qr"]])
-    r.qa = int(row_i[_I["qa"]])
-    if row_i[_I["null"]]:
+    r.qr = int(row[_I["qr"]])
+    r.qa = int(row[_I["qa"]])
+    if row[_I["null"]]:
         return r
     r.null = False
-    r.gt_idx = int(row_i[_I["gt_idx"]])
+    r.gt_idx = int(row[_I["gt_idx"]])
     r.gt_string = GT_STRINGS[r.gt_idx]
     r.gl = [float(row_f[0]), float(row_f[1]), float(row_f[2])]
-    r.gq = int(row_i[_I["gq"]])
+    r.gq = int(row[_I["gq"]])
     r.sq = float(row_f[3])
-    r.ab = float(row_f[4]) if row_i[_I["ab_valid"]] else None
+    r.ab = float(row_f[4]) if row[_I["ab_valid"]] else None
     return r

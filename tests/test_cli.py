@@ -132,3 +132,23 @@ def test_stdin_stdout(paths, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert out.startswith("##fileformat")
     assert len([l for l in out.splitlines() if not l.startswith("#")]) == len(EVENTS)
+
+
+def test_bnd_mate_pair_shares_genotype(paths):
+    d, bam, vcf = paths
+    vcf3 = str(d / "bnd_pair.vcf")
+    header = "".join(l for l in open(vcf) if l.startswith("#"))
+    a = ("chr1\t1000000\tbnd_a\tN\tN[chr1:1003001[\t.\t.\t"
+         "SVTYPE=BND;MATEID=bnd_b;EVENT=ev1;CIPOS=0,0;CIEND=0,0\tGT\t./.")
+    b = ("chr1\t1003001\tbnd_b\tN\t]chr1:1000000]N\t.\t.\t"
+         "SVTYPE=BND;MATEID=bnd_a;EVENT=ev1;CIPOS=0,0;CIEND=0,0\tGT\t./.")
+    with open(vcf3, "w") as fh:
+        fh.write(header + a + "\n" + b + "\n")
+    out = str(d / "out_bnd.vcf")
+    _run(["-i", vcf3, "-B", bam, "-o", out, "-n", "50000"])
+    body = [l.rstrip("\n").split("\t") for l in open(out)
+            if not l.startswith("#")]
+    assert len(body) == 2
+    # mate record copies the pair's genotype row (SPEC.md §2)
+    assert body[0][9] == body[1][9]
+    assert body[0][9].split(":")[0] == "0/1"  # the DEL event at 1M is het
