@@ -13,71 +13,27 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 #include <zlib.h>
+
+static std::mutex g_err_mu;  // serializes handle error-string writes
 
 extern "C" {
 
 // ---------------------------------------------------------------- handle
 
 struct SvtBam {
-  std::vector<uint8_t> buf;        // whole compressed file
+  std::vector<uint8_t> buf;        // whole compressed file (read-only)
   uint64_t body_voffset = 0;       // first record (set by python)
-  // block inflate scratch
-  std::vector<uint8_t> ublock;     // current inflated block
-  size_t ublock_coffset = SIZE_MAX;
-  size_t ublock_next = 0;
   std::string error;
-  // name tables cached via svt_set_names (used by svt_fetch_many)
+  // name tables cached via svt_set_names (read-only afterwards, so the
+  // handle is safe to share across decode threads)
   std::vector<std::string> ref_cache, rg_cache;
   std::vector<const char*> ref_ptrs;
   int32_t n_rg_cached = 0;
 };
-
-static int inflate_block(SvtBam* h, size_t coffset) {
-  if (h->ublock_coffset == coffset) return 0;
-  const uint8_t* b = h->buf.data();
-  size_t n = h->buf.size();
-  if (coffset + 18 > n) { h->error = "offset past EOF"; return -1; }
-  if (b[coffset] != 0x1f || b[coffset + 1] != 0x8b) {
-    h->error = "bad gzip magic"; return -1;
-  }
-  uint16_t xlen;
-  memcpy(&xlen, b + coffset + 10, 2);
-  size_t xoff = coffset + 12, xend = xoff + xlen;
-  size_t bsize = 0;
-  while (xoff + 4 <= xend) {
-    uint8_t si1 = b[xoff], si2 = b[xoff + 1];
-    uint16_t slen;
-    memcpy(&slen, b + xoff + 2, 2);
-    if (si1 == 66 && si2 == 67 && slen == 2) {
-      uint16_t bs;
-      memcpy(&bs, b + xoff + 4, 2);
-      bsize = (size_t)bs + 1;
-    }
-    xoff += 4 + slen;
-  }
-  if (!bsize) { h->error = "missing BC subfield"; return -1; }
-  uint32_t isize;
-  memcpy(&isize, b + coffset + bsize - 4, 4);
-  h->ublock.resize(isize);
-  if (isize) {
-    z_stream zs;
-    memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) { h->error = "inflateInit"; return -1; }
-    zs.next_in = const_cast<uint8_t*>(b) + xend;
-    zs.avail_in = (uInt)(coffset + bsize - 8 - xend);
-    zs.next_out = h->ublock.data();
-    zs.avail_out = isize;
-    int rc = inflate(&zs, Z_FINISH);
-    inflateEnd(&zs);
-    if (rc != Z_STREAM_END) { h->error = "inflate failed"; return -1; }
-  }
-  h->ublock_coffset = coffset;
-  h->ublock_next = coffset + bsize;
-  return 0;
-}
 
 void* svt_open(const char* path) {
   FILE* f = fopen(path, "rb");
@@ -109,16 +65,69 @@ struct VStream {
   size_t coffset;
   size_t uoffset;
   bool eof = false;
+  // per-stream inflate scratch: streams share nothing mutable, so any
+  // number can decode the same handle concurrently
+  std::vector<uint8_t> ub;
+  size_t ub_coffset = SIZE_MAX;
+  size_t ub_next = 0;
+
+  int inflate_here(size_t co) {
+    if (ub_coffset == co) return 0;
+    const uint8_t* b = h->buf.data();
+    size_t n = h->buf.size();
+    if (co + 18 > n) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "offset past EOF"; } return -1; }
+    if (b[co] != 0x1f || b[co + 1] != 0x8b) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad gzip magic"; }
+      return -1;
+    }
+    uint16_t xlen;
+    memcpy(&xlen, b + co + 10, 2);
+    size_t xoff = co + 12, xend = xoff + xlen;
+    size_t bsize = 0;
+    while (xoff + 4 <= xend) {
+      uint8_t si1 = b[xoff], si2 = b[xoff + 1];
+      uint16_t slen;
+      memcpy(&slen, b + xoff + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, b + xoff + 4, 2);
+        bsize = (size_t)bs + 1;
+      }
+      xoff += 4 + slen;
+    }
+    if (!bsize) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "missing BC subfield"; } return -1; }
+    uint32_t isize;
+    memcpy(&isize, b + co + bsize - 4, 4);
+    ub.resize(isize);
+    if (isize) {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) {
+        { std::lock_guard<std::mutex> g(g_err_mu); h->error = "inflateInit"; }
+        return -1;
+      }
+      zs.next_in = const_cast<uint8_t*>(b) + xend;
+      zs.avail_in = (uInt)(co + bsize - 8 - xend);
+      zs.next_out = ub.data();
+      zs.avail_out = isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "inflate failed"; } return -1; }
+    }
+    ub_coffset = co;
+    ub_next = co + bsize;
+    return 0;
+  }
 
   bool ensure() {  // make current block available; advance past empties
     while (true) {
       if (coffset >= h->buf.size()) { eof = true; return false; }
-      if (inflate_block(h, coffset) != 0) { eof = true; return false; }
-      if (uoffset < h->ublock.size()) return true;
+      if (inflate_here(coffset) != 0) { eof = true; return false; }
+      if (uoffset < ub.size()) return true;
       // block exhausted (or empty EOF sentinel) → next block
-      coffset = h->ublock_next;
+      coffset = ub_next;
       uoffset = 0;
-      if (h->ublock.empty() && coffset >= h->buf.size()) {
+      if (ub.empty() && coffset >= h->buf.size()) {
         eof = true;
         return false;
       }
@@ -131,9 +140,9 @@ struct VStream {
   bool read(uint8_t* dst, size_t n) {
     while (n) {
       if (!ensure()) return false;
-      size_t avail = h->ublock.size() - uoffset;
+      size_t avail = ub.size() - uoffset;
       size_t take = avail < n ? avail : n;
-      memcpy(dst, h->ublock.data() + uoffset, take);
+      memcpy(dst, ub.data() + uoffset, take);
       uoffset += take;
       dst += take;
       n -= take;
@@ -301,10 +310,10 @@ long svt_decode(void* vh,
     if (!vs.read(szb, 4)) break;
     int32_t block_size;
     memcpy(&block_size, szb, 4);
-    if (block_size < 32) { h->error = "bad record size"; return -1; }
+    if (block_size < 32) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad record size"; } return -1; }
     rec.resize((size_t)block_size);
     if (!vs.read(rec.data(), (size_t)block_size)) {
-      h->error = "truncated record";
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
       return -1;
     }
     int32_t tid, pos, l_seq, mtid, mpos, tlen;
@@ -507,6 +516,7 @@ long svt_fetch_many(void* vh,
   out->blk_off[0] = 0;
   std::vector<uint8_t> rec;
   std::vector<int32_t> bstart, bend;
+  VStream vs{h, 0, 0};  // one stream: scratch block survives across ranges
   for (int64_t q = *io_query; q < n_queries; q++) {
     int32_t rtid = (int32_t)region_tid[q];
     int64_t rlo = region_start[q], rhi = region_end[q];
@@ -515,7 +525,9 @@ long svt_fetch_many(void* vh,
       uint64_t vo0 = range_beg[r];
       if (q == *io_query && r == *io_range && *io_voffset != UINT64_MAX)
         vo0 = *io_voffset;  // resuming mid-range
-      VStream vs{h, (size_t)(vo0 >> 16), (size_t)(vo0 & 0xFFFF)};
+      vs.coffset = (size_t)(vo0 >> 16);
+      vs.uoffset = (size_t)(vo0 & 0xFFFF);
+      vs.eof = false;
       uint64_t stop = range_end_[r];
       while (true) {
         if (!vs.ensure()) break;
@@ -525,10 +537,10 @@ long svt_fetch_many(void* vh,
         if (!vs.read(szb, 4)) break;
         int32_t block_size;
         memcpy(&block_size, szb, 4);
-        if (block_size < 32) { h->error = "bad record size"; return -1; }
+        if (block_size < 32) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad record size"; } return -1; }
         rec.resize((size_t)block_size);
         if (!vs.read(rec.data(), (size_t)block_size)) {
-          h->error = "truncated record";
+          { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
           return -1;
         }
         int32_t tid, pos, l_seq, mtid, mpos, tlen;

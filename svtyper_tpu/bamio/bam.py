@@ -57,6 +57,9 @@ class BamFile:
         self._use_native = use_native
         self._native = None
         self._native_failed = False
+        self._threads = int(os.environ.get("SVT_THREADS", "0")) or (
+            2 if (os.cpu_count() or 1) >= 2 else 1
+        )
         self._reader = BgzfReader(path)
         vs = VirtualStream(self._reader)
         magic = vs.read(4)
@@ -209,7 +212,9 @@ class BamFile:
             flat = [rng for p in prepared for rng in p[4]]
             rb = np.array([c[0] for c in flat], dtype=np.uint64)
             rn = np.array([c[1] for c in flat], dtype=np.uint64)
-            batch, qid = native.fetch_many(rt, rs, re_, ro, rb, rn)
+            batch, qid = native.fetch_many(
+                rt, rs, re_, ro, rb, rn, threads=self._threads
+            )
             remap = np.array([p[0] for p in prepared], dtype=np.int32)
             return batch, remap[qid]
         # python fallback: sequential fetches

@@ -147,6 +147,39 @@ def _char_pp(strings: List[str]):
     return arr
 
 
+class _BufSet:
+    """Grow-only output buffers + prebuilt Cols struct for one thread."""
+
+    __slots__ = ("cap", "bufs", "cols", "qid", "blk_off", "blk_start",
+                 "blk_end")
+
+    def __init__(self) -> None:
+        self.cap = 0
+        self.bufs = None
+        self.cols = None
+        self.qid = None
+        self.blk_off = None
+        self.blk_start = None
+        self.blk_end = None
+
+    def ensure(self, cap: int) -> None:
+        if cap <= self.cap:
+            return
+        self.bufs = {name: np.empty(cap, dtype=dt) for name, dt in _COL_DTYPES}
+        self.qid = np.empty(cap, dtype=np.int32)
+        self.blk_off = np.empty(cap + 1, dtype=np.int64)
+        self.blk_start = np.empty(cap * 2, dtype=np.int32)
+        self.blk_end = np.empty(cap * 2, dtype=np.int32)
+        cols = _Cols()
+        for (name, _dt), (fname, ftype) in zip(_COL_DTYPES, _Cols._fields_):
+            setattr(cols, fname, self.bufs[name].ctypes.data_as(ftype))
+        cols.blk_off = self.blk_off.ctypes.data_as(C.POINTER(C.c_int64))
+        cols.blk_start = self.blk_start.ctypes.data_as(C.POINTER(C.c_int32))
+        cols.blk_end = self.blk_end.ctypes.data_as(C.POINTER(C.c_int32))
+        self.cols = cols
+        self.cap = cap
+
+
 class NativeBam:
     """One opened BAM in the native core (compressed bytes live in C++)."""
 
@@ -164,31 +197,95 @@ class NativeBam:
         self._n_rg = len(rg_names)
         lib.svt_set_names(self._h, self._refs, self._n_ref, self._rgs,
                           self._n_rg)
-        # persistent grow-only buffers for fetch_many
-        self._cap = 0
-        self._bufs = None
-        self._cols = None
-        self._qid = None
-        self._blk_off = None
-        self._blk_start = None
-        self._blk_end = None
+        # persistent grow-only buffer sets; one per decode thread slot
+        self._bufsets: List[_BufSet] = [_BufSet()]
+
+    # back-compat shims for the single-threaded decode path
+    @property
+    def _cap(self):
+        return self._bufsets[0].cap
+
+    @property
+    def _bufs(self):
+        return self._bufsets[0].bufs
+
+    @property
+    def _cols(self):
+        return self._bufsets[0].cols
+
+    @property
+    def _qid(self):
+        return self._bufsets[0].qid
+
+    @property
+    def _blk_off(self):
+        return self._bufsets[0].blk_off
+
+    @property
+    def _blk_start(self):
+        return self._bufsets[0].blk_start
+
+    @property
+    def _blk_end(self):
+        return self._bufsets[0].blk_end
 
     def _ensure_bufs(self, cap: int) -> None:
-        if cap <= self._cap:
-            return
-        self._bufs = {name: np.empty(cap, dtype=dt) for name, dt in _COL_DTYPES}
-        self._qid = np.empty(cap, dtype=np.int32)
-        self._blk_off = np.empty(cap + 1, dtype=np.int64)
-        self._blk_start = np.empty(cap * 2, dtype=np.int32)
-        self._blk_end = np.empty(cap * 2, dtype=np.int32)
-        cols = _Cols()
-        for (name, _dt), (fname, ftype) in zip(_COL_DTYPES, _Cols._fields_):
-            setattr(cols, fname, self._bufs[name].ctypes.data_as(ftype))
-        cols.blk_off = self._blk_off.ctypes.data_as(C.POINTER(C.c_int64))
-        cols.blk_start = self._blk_start.ctypes.data_as(C.POINTER(C.c_int32))
-        cols.blk_end = self._blk_end.ctypes.data_as(C.POINTER(C.c_int32))
-        self._cols = cols
-        self._cap = cap
+        self._bufsets[0].ensure(cap)
+
+    def _fetch_slice(
+        self,
+        bs: _BufSet,
+        rt: np.ndarray,
+        rs: np.ndarray,
+        re_: np.ndarray,
+        ro: np.ndarray,
+        rb: np.ndarray,
+        rn: np.ndarray,
+        cap_hint: int,
+    ) -> Tuple[ReadBatch, np.ndarray]:
+        q = len(rt)
+        io_q = C.c_int64(0)
+        io_r = C.c_int64(0)
+        io_v = C.c_uint64(2**64 - 1)
+        nrows = C.c_int64(0)
+        parts: List[Dict[str, np.ndarray]] = []
+        qids: List[np.ndarray] = []
+        cap = max(bs.cap, cap_hint, 1024)
+        while True:
+            bs.ensure(cap)
+            n = self._lib.svt_fetch_many(
+                self._h, q,
+                rt.ctypes.data_as(C.POINTER(C.c_int64)),
+                rs.ctypes.data_as(C.POINTER(C.c_int64)),
+                re_.ctypes.data_as(C.POINTER(C.c_int64)),
+                ro.ctypes.data_as(C.POINTER(C.c_int64)),
+                rb.ctypes.data_as(C.POINTER(C.c_uint64)),
+                rn.ctypes.data_as(C.POINTER(C.c_uint64)),
+                C.byref(io_q), C.byref(io_r), C.byref(io_v),
+                bs.cap, bs.cap * 2,
+                C.byref(bs.cols),
+                bs.qid.ctypes.data_as(C.POINTER(C.c_int32)),
+                C.byref(nrows),
+            )
+            if n == -1:
+                raise ValueError(
+                    self._lib.svt_error(self._h).decode() or "fetch error"
+                )
+            rows = int(nrows.value)
+            d = {name: bs.bufs[name][:rows].copy() for name, _ in _COL_DTYPES}
+            nblk = int(bs.blk_off[rows])
+            d["blk_off"] = bs.blk_off[: rows + 1].copy()
+            d["blk_start"] = bs.blk_start[:nblk].copy()
+            d["blk_end"] = bs.blk_end[:nblk].copy()
+            parts.append(d)
+            qids.append(bs.qid[:rows].copy())
+            if n != -2:
+                break
+            cap = bs.cap * 2
+        if len(parts) == 1:
+            return ReadBatch.from_columns(parts[0]), qids[0]
+        batch = ReadBatch.concat([ReadBatch.from_columns(p) for p in parts])
+        return batch, np.concatenate(qids)
 
     def fetch_many(
         self,
@@ -199,58 +296,58 @@ class NativeBam:
         range_beg: np.ndarray,
         range_end: np.ndarray,
         cap_hint: int = 1 << 16,
+        threads: int = 1,
     ) -> Tuple[ReadBatch, np.ndarray]:
-        """Batched multi-region fetch → (batch, query_id per row)."""
-        q = len(region_tid)
+        """Batched multi-region fetch → (batch, query_id per row).
+
+        ``threads > 1`` splits the query list into contiguous slices
+        decoded concurrently (the C call releases the GIL; the handle is
+        read-only, each slice gets its own buffer set) and re-concatenated
+        in query order — output identical to the single-thread path.
+        """
         rt = np.ascontiguousarray(region_tid, dtype=np.int64)
         rs = np.ascontiguousarray(region_start, dtype=np.int64)
         re_ = np.ascontiguousarray(region_end, dtype=np.int64)
         ro = np.ascontiguousarray(range_off, dtype=np.int64)
         rb = np.ascontiguousarray(range_beg, dtype=np.uint64)
         rn = np.ascontiguousarray(range_end, dtype=np.uint64)
-        io_q = C.c_int64(0)
-        io_r = C.c_int64(0)
-        io_v = C.c_uint64(2**64 - 1)
-        nrows = C.c_int64(0)
-        parts: List[Dict[str, np.ndarray]] = []
-        qids: List[np.ndarray] = []
-        cap = max(self._cap, cap_hint, 1024)
-        while True:
-            self._ensure_bufs(cap)
-            n = self._lib.svt_fetch_many(
-                self._h, q,
-                rt.ctypes.data_as(C.POINTER(C.c_int64)),
-                rs.ctypes.data_as(C.POINTER(C.c_int64)),
-                re_.ctypes.data_as(C.POINTER(C.c_int64)),
-                ro.ctypes.data_as(C.POINTER(C.c_int64)),
-                rb.ctypes.data_as(C.POINTER(C.c_uint64)),
-                rn.ctypes.data_as(C.POINTER(C.c_uint64)),
-                C.byref(io_q), C.byref(io_r), C.byref(io_v),
-                self._cap, self._cap * 2,
-                C.byref(self._cols),
-                self._qid.ctypes.data_as(C.POINTER(C.c_int32)),
-                C.byref(nrows),
+        q = len(rt)
+        if threads <= 1 or q < 2 * threads:
+            return self._fetch_slice(
+                self._bufsets[0], rt, rs, re_, ro, rb, rn, cap_hint
             )
-            if n == -1:
-                raise ValueError(
-                    self._lib.svt_error(self._h).decode() or "fetch error"
-                )
-            rows = int(nrows.value)
-            d = {name: self._bufs[name][:rows].copy()
-                 for name, _ in _COL_DTYPES}
-            nblk = int(self._blk_off[rows])
-            d["blk_off"] = self._blk_off[: rows + 1].copy()
-            d["blk_start"] = self._blk_start[:nblk].copy()
-            d["blk_end"] = self._blk_end[:nblk].copy()
-            parts.append(d)
-            qids.append(self._qid[:rows].copy())
-            if n != -2:
-                break
-            cap = self._cap * 2
-        if len(parts) == 1:
-            return ReadBatch.from_columns(parts[0]), qids[0]
-        batch = ReadBatch.concat([ReadBatch.from_columns(p) for p in parts])
-        return batch, np.concatenate(qids)
+        while len(self._bufsets) < threads:
+            self._bufsets.append(_BufSet())
+        # contiguous query partitions balanced by range count
+        bounds = [0]
+        total = int(ro[-1])
+        for t in range(1, threads):
+            bounds.append(int(np.searchsorted(ro, total * t // threads)))
+        bounds.append(q)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(t: int):
+            q0, q1 = bounds[t], bounds[t + 1]
+            if q0 >= q1:
+                return ReadBatch(0), np.zeros(0, dtype=np.int32)
+            r0, r1 = int(ro[q0]), int(ro[q1])
+            batch, qid = self._fetch_slice(
+                self._bufsets[t],
+                rt[q0:q1], rs[q0:q1], re_[q0:q1],
+                np.ascontiguousarray(ro[q0 : q1 + 1] - ro[q0]),
+                rb[r0:r1], rn[r0:r1],
+                max(cap_hint // threads, 1024),
+            )
+            return batch, qid + q0
+
+        with ThreadPoolExecutor(max_workers=threads) as ex:
+            results = list(ex.map(work, range(threads)))
+        batches = [b for b, _ in results if b.n]
+        qids = [i for (b, i) in results if b.n]
+        if not batches:
+            return ReadBatch(0), np.zeros(0, dtype=np.int32)
+        return ReadBatch.concat(batches), np.concatenate(qids)
 
     def __del__(self):
         h = getattr(self, "_h", None)

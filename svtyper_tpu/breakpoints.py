@@ -88,6 +88,31 @@ def parse_bnd_alt(alt: str) -> Optional[Tuple[str, int, bool, bool]]:
     return chrom_b, pos_b, o1_rev, o2_rev
 
 
+def fetch_windows(bp: Breakpoint, flank: int) -> list:
+    """Disjoint fetch windows for both breakpoints (SPEC.md §3).
+
+    A and B windows are merged when they overlap on the same chromosome
+    so every read is decoded exactly once; the merged list preserves the
+    A-then-B read order of the reference's two-fetch gather (overlap
+    reads appear at their sorted position, which coincides — see
+    evidence/extract.py). Used by both the oracle and the engine so
+    their batches are row-identical.
+    """
+    wins = []
+    for chrom, p0, ci in ((bp.chrom_a, bp.pos_a, bp.ci_a),
+                          (bp.chrom_b, bp.pos_b, bp.ci_b)):
+        wins.append((chrom, p0 + ci[0] - flank, p0 + ci[1] + flank + 1))
+    (ca, la, ha), (cb, lb, hb) = wins
+    if ca == cb and la <= hb and lb <= ha:
+        return [(ca, min(la, lb), max(ha, hb))]
+    if ca == cb and lb < la:
+        # same chrom with B left of A (possible for BND): fetch in
+        # coordinate order so the batch stays coordinate-sorted per
+        # variant
+        return [wins[1], wins[0]]
+    return wins
+
+
 def resolve_breakpoint(var: Variant) -> Optional[Breakpoint]:
     """None for unsupported SVTYPEs (record passes through un-genotyped)."""
     svtype = var.get_info("SVTYPE")

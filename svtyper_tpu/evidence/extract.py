@@ -13,7 +13,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from svtyper_tpu.bamio.columns import FMUNMAP, FPAIRED, ReadBatch
-from svtyper_tpu.breakpoints import Breakpoint
+from svtyper_tpu.breakpoints import Breakpoint, fetch_windows
 from svtyper_tpu.oracle.engine import Z_FLANK
 from svtyper_tpu.stats.library import Sample
 
@@ -139,11 +139,8 @@ def prepare_chunk(
             continue
         force_null = bp.ci_width() > max_ci_dist
         if not force_null:
-            for chrom, p0, ci in (
-                (bp.chrom_a, bp.pos_a, bp.ci_a),
-                (bp.chrom_b, bp.pos_b, bp.ci_b),
-            ):
-                regions.append((chrom, p0 + ci[0] - flank, p0 + ci[1] + flank + 1))
+            for win in fetch_windows(bp, flank):
+                regions.append(win)
                 reg_var.append(vi)
         v["tid_a"].append(name_to_tid.get(bp.chrom_a, -1))
         v["pos_a"].append(bp.pos_a)

@@ -293,15 +293,13 @@ def gather_reads(
     Returns the deduplicated batch (a read overlapping both windows is
     kept once) with per-read library indices.
     """
+    from svtyper_tpu.breakpoints import fetch_windows
+
     flank = sample.get_fetch_flank(z)
-    parts = []
-    for chrom, p0, ci in (
-        (bp.chrom_a, bp.pos_a, bp.ci_a),
-        (bp.chrom_b, bp.pos_b, bp.ci_b),
-    ):
-        lo = p0 + ci[0] - flank
-        hi = p0 + ci[1] + flank + 1
-        parts.append(sample.bam.fetch(chrom, lo, hi))
+    parts = [
+        sample.bam.fetch(chrom, lo, hi)
+        for chrom, lo, hi in fetch_windows(bp, flank)
+    ]
     batch = ReadBatch.concat(parts)
     if batch.n:
         # drop duplicates across the two windows (same voffset)

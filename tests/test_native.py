@@ -97,3 +97,32 @@ def test_sample_bootstrap_matches(bam_path):
     s_py = Sample.from_bam(BamFile(bam_path, use_native=False), num_samp=50_000)
     assert s_nat.libraries[0].hist == s_py.libraries[0].hist
     assert s_nat.libraries[0].mean == s_py.libraries[0].mean
+
+
+def test_threaded_fetch_many_equivalence(bam_path):
+    """threads=2 must produce byte-identical batches to threads=1
+    (handle shared across decode threads; per-stream inflate scratch)."""
+    bam = BamFile(bam_path, use_native=True)
+    nat = bam._get_native()
+    regions = [("chr1", 995_000 + i * 12_000, 1_001_000 + i * 12_000)
+               for i in range(40)]
+    prepared = []
+    for qi, (c, s, e) in enumerate(regions):
+        tid = bam.header.name_to_tid[c]
+        rng = bam.bai.query(tid, s, e)
+        if rng:
+            prepared.append((qi, tid, s, e, rng))
+    rt = np.array([p[1] for p in prepared], np.int64)
+    rs = np.array([p[2] for p in prepared], np.int64)
+    re_ = np.array([p[3] for p in prepared], np.int64)
+    cnt = np.array([len(p[4]) for p in prepared], np.int64)
+    ro = np.zeros(len(prepared) + 1, np.int64)
+    np.cumsum(cnt, out=ro[1:])
+    flat = [r for p in prepared for r in p[4]]
+    rb = np.array([c[0] for c in flat], np.uint64)
+    rn = np.array([c[1] for c in flat], np.uint64)
+    b1, q1 = nat.fetch_many(rt, rs, re_, ro, rb, rn, threads=1)
+    for _ in range(3):
+        b2, q2 = nat.fetch_many(rt, rs, re_, ro, rb, rn, threads=2)
+        _assert_batches_equal(b1, b2)
+        np.testing.assert_array_equal(q1, q2)
