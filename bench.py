@@ -105,6 +105,15 @@ def main():
 
 
 def _measure():
+    # persistent compile cache: repeat runs skip the remote-compile step
+    # (the wedge-prone leg of the axon tunnel)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(CACHE, "jaxcache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     bam_path, vcf_path = build_fixture()
 
     from svtyper_tpu.bamio.bam import BamFile

@@ -13,8 +13,12 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <fcntl.h>
 #include <mutex>
 #include <string>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <vector>
 #include <zlib.h>
 
@@ -25,7 +29,10 @@ extern "C" {
 // ---------------------------------------------------------------- handle
 
 struct SvtBam {
-  std::vector<uint8_t> buf;        // whole compressed file (read-only)
+  // whole compressed file, mmap'd read-only (page cache shared with the
+  // Python-side mmap — no double-buffering of big BAMs)
+  const uint8_t* map = nullptr;
+  size_t map_size = 0;
   uint64_t body_voffset = 0;       // first record (set by python)
   std::string error;
   // name tables cached via svt_set_names (read-only afterwards, so the
@@ -33,22 +40,34 @@ struct SvtBam {
   std::vector<std::string> ref_cache, rg_cache;
   std::vector<const char*> ref_ptrs;
   int32_t n_rg_cached = 0;
+
+  const uint8_t* data() const { return map; }
+  size_t size() const { return map_size; }
+  ~SvtBam() {
+    if (map) munmap(const_cast<uint8_t*>(map), map_size);
+  }
 };
 
 void* svt_open(const char* path) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return nullptr;
-  auto* h = new SvtBam();
-  fseek(f, 0, SEEK_END);
-  long sz = ftell(f);
-  fseek(f, 0, SEEK_SET);
-  h->buf.resize((size_t)sz);
-  if (sz && fread(h->buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
-    fclose(f);
-    delete h;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
     return nullptr;
   }
-  fclose(f);
+  auto* h = new SvtBam();
+  h->map_size = (size_t)st.st_size;
+  if (h->map_size) {
+    void* m = mmap(nullptr, h->map_size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (m == MAP_FAILED) {
+      close(fd);
+      delete h;
+      return nullptr;
+    }
+    h->map = static_cast<const uint8_t*>(m);
+  }
+  close(fd);
   return h;
 }
 
@@ -73,8 +92,8 @@ struct VStream {
 
   int inflate_here(size_t co) {
     if (ub_coffset == co) return 0;
-    const uint8_t* b = h->buf.data();
-    size_t n = h->buf.size();
+    const uint8_t* b = h->data();
+    size_t n = h->size();
     if (co + 18 > n) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "offset past EOF"; } return -1; }
     if (b[co] != 0x1f || b[co + 1] != 0x8b) {
       { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad gzip magic"; }
@@ -121,13 +140,13 @@ struct VStream {
 
   bool ensure() {  // make current block available; advance past empties
     while (true) {
-      if (coffset >= h->buf.size()) { eof = true; return false; }
+      if (coffset >= h->size()) { eof = true; return false; }
       if (inflate_here(coffset) != 0) { eof = true; return false; }
       if (uoffset < ub.size()) return true;
       // block exhausted (or empty EOF sentinel) → next block
       coffset = ub_next;
       uoffset = 0;
-      if (ub.empty() && coffset >= h->buf.size()) {
+      if (ub.empty() && coffset >= h->size()) {
         eof = true;
         return false;
       }

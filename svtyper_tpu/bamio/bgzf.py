@@ -63,8 +63,13 @@ class BgzfReader:
 
     def __init__(self, path: str, cache_blocks: int = 512) -> None:
         self.path = path
-        with open(path, "rb") as fh:
-            self._buf = fh.read()
+        self._fh = open(path, "rb")
+        try:
+            import mmap
+
+            self._buf = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # empty file or no mmap support
+            self._buf = self._fh.read()
         self._cache: "OrderedDict[int, Tuple[bytes, int]]" = OrderedDict()
         self._cache_blocks = cache_blocks
 

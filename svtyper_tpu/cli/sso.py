@@ -43,6 +43,10 @@ def get_args(argv=None):
     p.add_argument("--debug", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--engine", choices=("tpu", "oracle"), default="tpu")
+    p.add_argument("--checkpoint_dir", default=None, metavar="DIR",
+                   help="spill each genotyped batch to DIR and resume a "
+                        "killed run at batch granularity (the role of the "
+                        "reference sso's per-batch temp files)")
     return p.parse_args(argv)
 
 
@@ -72,6 +76,7 @@ def main(argv=None) -> int:
             engine_kind=args.engine,
             batch_size=args.batch_size,
             verbose=args.verbose or args.debug,
+            checkpoint_dir=args.checkpoint_dir,
         )
     finally:
         if args.input_vcf:

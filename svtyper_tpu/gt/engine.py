@@ -76,16 +76,55 @@ class TpuEngine:
             "variants": 0,
         }
 
+    def _use_pallas(self) -> bool:
+        """Fused Pallas GL kernel — opt-in via SVT_PALLAS=1 (f32 TPU
+        runs only; the jnp path is the parity reference and the safe
+        default while the axon tunnel makes on-hardware validation
+        intermittent)."""
+        import os
+
+        return os.environ.get("SVT_PALLAS") == "1" and not self._use_f64
+
     def _build_step(self):
         min_aligned = self.min_aligned
         sw, dw = self.split_weight, self.disc_weight
         dtype = self.dtype
+        use_pallas = self._use_pallas()
 
         @functools.partial(jax.jit, static_argnames=("n_var",))
         def step(reads, pairs, variants, dens, lcf, n_var):
             counts = classify(
                 reads, pairs, variants, dens, n_var, min_aligned, dtype=dtype
             )
+            # pack EVERYTHING into one [N, 24] float matrix: a single
+            # host transfer per chunk (the tunnel to the TPU is
+            # latency-bound). Integer fields are exact in f32 up to
+            # 2^24 — far above any per-variant read count.
+            if use_pallas:
+                from svtyper_tpu.ops.pallas_gl import (
+                    BLOCK_N,
+                    genotype_batch_pallas,
+                )
+
+                n_pad = -(-n_var // BLOCK_N) * BLOCK_N
+                counts_t = jnp.zeros((5, n_pad), dtype=jnp.float32)
+                counts_t = counts_t.at[:, :n_var].set(counts.T)
+                isdup = jnp.zeros(n_pad, jnp.int32).at[:n_var].set(
+                    variants["is_dup"].astype(jnp.int32)
+                )
+                fnull = jnp.ones(n_pad, jnp.int32).at[:n_var].set(
+                    variants["force_null"].astype(jnp.int32)
+                )
+                ints_t, flts_t = genotype_batch_pallas(
+                    counts_t, isdup, fnull, split_weight=sw, disc_weight=dw
+                )
+                return jnp.concatenate(
+                    [
+                        ints_t[:, :n_var].T.astype(dtype),
+                        flts_t[:, :n_var].T.astype(dtype),
+                    ],
+                    axis=1,
+                )
             out = genotype_batch(
                 counts,
                 variants["is_dup"],
@@ -94,10 +133,6 @@ class TpuEngine:
                 split_weight=sw,
                 disc_weight=dw,
             )
-            # pack EVERYTHING into one [N, 24] float matrix: a single
-            # host transfer per chunk (the tunnel to the TPU is
-            # latency-bound). Integer fields are exact in f32 up to
-            # 2^24 — far above any per-variant read count.
             ints = jnp.stack(
                 [out[k].astype(dtype) for k in INT_FIELDS], axis=1
             )

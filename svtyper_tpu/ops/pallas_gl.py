@@ -25,9 +25,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN10 = math.log(10.0)
+HALF_LN_2PI = 0.5 * math.log(2.0 * math.pi)
 MAX_GQ = 200.0
 LOG10_TINY = -323.6
 BLOCK_N = 512
+
+
+def _lgamma(x):
+    """ln Γ(x) for x ≥ 1, elementwise — Mosaic has no lgamma primitive,
+    so: shift x up by 8 (recurrence ln Γ(x) = ln Γ(x+8) − Σ ln(x+i)) and
+    apply the Stirling series, accurate to ~1e-7 relative in f32."""
+    shift = 0.0
+    for i in range(8):
+        shift = shift + jnp.log(x + i)
+    z = x + 8.0
+    zi = 1.0 / z
+    zi2 = zi * zi
+    series = zi * (1.0 / 12.0 + zi2 * (-1.0 / 360.0 + zi2 * (1.0 / 1260.0)))
+    return (z - 0.5) * jnp.log(z) - z + HALF_LN_2PI + series - shift
 
 # int output rows must match svtyper_tpu.gt.engine.INT_FIELDS
 N_INT, N_FLT = 14, 10
@@ -57,9 +72,9 @@ def _kernel(counts_ref, isdup_ref, fnull_ref, ints_ref, flts_ref,
     lc = jnp.where(
         lc_valid,
         (
-            jax.lax.lgamma(safe_n + 1.0)
-            - jax.lax.lgamma(safe_k + 1.0)
-            - jax.lax.lgamma(safe_n - safe_k + 1.0)
+            _lgamma(safe_n + 1.0)
+            - _lgamma(safe_k + 1.0)
+            - _lgamma(safe_n - safe_k + 1.0)
         )
         / LN10,
         0.0,
