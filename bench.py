@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-N_VARIANTS = int(os.environ.get("SVT_BENCH_VARIANTS", "800"))
+N_VARIANTS = int(os.environ.get("SVT_BENCH_VARIANTS", "1600"))
 DEPTH = float(os.environ.get("SVT_BENCH_DEPTH", "30"))
 ORACLE_N = int(os.environ.get("SVT_BENCH_ORACLE_N", "48"))
 CACHE = os.environ.get("SVT_BENCH_CACHE", "/tmp/svtyper_tpu_bench")
@@ -83,16 +83,23 @@ def main():
     timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "180"))
     env = dict(os.environ, SVT_BENCH_CHILD="1")
     for i in range(attempts):
+        err_path = os.path.join(CACHE, "child_%d.stderr" % i)
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=timeout_s, capture_output=True, text=True,
-            )
+            with open(err_path, "w") as err_fh:
+                proc = subprocess.run(
+                    [sys.executable, "-u", os.path.abspath(__file__)],
+                    env=env, timeout=timeout_s, stdout=subprocess.PIPE,
+                    stderr=err_fh, text=True,
+                )
         except subprocess.TimeoutExpired:
-            sys.stderr.write("bench child timed out (attempt %d)\n" % (i + 1))
+            tail = open(err_path).read()[-600:]
+            sys.stderr.write(
+                "bench child timed out (attempt %d); last stderr:\n%s\n"
+                % (i + 1, tail)
+            )
             time.sleep(30)  # a wedged relay sometimes recovers after idle
             continue
-        sys.stderr.write(proc.stderr[-2000:])
+        sys.stderr.write(open(err_path).read()[-2000:])
         line = next(
             (l for l in proc.stdout.splitlines() if l.startswith("{")), None
         )

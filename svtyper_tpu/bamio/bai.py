@@ -10,7 +10,7 @@ semantics (SPEC.md §7).
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 PSEUDO_BIN = 37450
 _LIN_SHIFT = 14

@@ -12,7 +12,7 @@ from __future__ import annotations
 import struct
 import zlib
 from collections import OrderedDict
-from typing import IO, Optional, Tuple
+from typing import IO, Tuple
 
 # 28-byte empty BGZF block that terminates every BGZF file.
 BGZF_EOF = bytes.fromhex(

@@ -9,7 +9,7 @@ to the TPU as fixed-shape tensors.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

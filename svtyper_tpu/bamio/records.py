@@ -19,15 +19,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from svtyper_tpu.bamio.bgzf import VirtualStream
-from svtyper_tpu.bamio.cigar import (
-    CONSUMES_QUERY,
-    CONSUMES_REF,
-    IS_ALIGNED,
-    S,
-    H,
-    CigarFeatures,
-    parse_cigar_string,
-)
+from svtyper_tpu.bamio.cigar import CigarFeatures, parse_cigar_string
 from svtyper_tpu.bamio.columns import FREVERSE, FUNMAP, ReadBatch
 
 _CORE = struct.Struct("<iiBBHHHIiii")  # refID..tlen (after block_size)

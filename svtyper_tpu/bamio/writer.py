@@ -9,7 +9,7 @@ parity, SURVEY.md §2.2).
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from svtyper_tpu.bamio.bai import BaiBuilder
 from svtyper_tpu.bamio.bgzf import BgzfWriter

@@ -23,7 +23,7 @@ import numpy as np
 
 from svtyper_tpu.breakpoints import Breakpoint
 from svtyper_tpu.evidence.device import classify
-from svtyper_tpu.evidence.extract import ChunkInputs, prepare_chunk
+from svtyper_tpu.evidence.extract import prepare_chunk
 from svtyper_tpu.models.bayes import GT_STRINGS, GenotypeResult
 from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
 from svtyper_tpu.stats.library import Sample

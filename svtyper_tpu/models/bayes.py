@@ -9,7 +9,7 @@ output-format precision; ``tests/test_gt_engine.py`` enforces it.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 # per-genotype alt-allele probabilities for (0/0, 0/1, 1/1) — SPEC.md §5
 ALT_PROBS = (1e-3, 0.5, 0.9)

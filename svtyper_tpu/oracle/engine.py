@@ -8,12 +8,10 @@ Follows SPEC.md §§3–5 literally (which reconstructs
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from svtyper_tpu.bamio.bam import BamFile
 from svtyper_tpu.bamio.columns import ReadBatch
 from svtyper_tpu.breakpoints import Breakpoint
 from svtyper_tpu.models.bayes import GenotypeResult, genotype_from_counts

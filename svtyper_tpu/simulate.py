@@ -11,7 +11,6 @@ clips arise naturally from junction crossings.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -19,9 +18,7 @@ import numpy as np
 from svtyper_tpu.bamio.cigar import M as OP_M, S as OP_S
 from svtyper_tpu.bamio.columns import (
     FMREVERSE,
-    FMUNMAP,
     FPAIRED,
-    FPROPER,
     FREAD1,
     FREAD2,
     FREVERSE,
