@@ -149,9 +149,10 @@ def _measure():
     sys.stderr.write("oracle: %.2f variants/s\n" % oracle_vps)
 
     # --- TPU engine: warmup (compile) then timed full run
-    engine = TpuEngine([sample], chunk_size=1024)
+    chunk = int(os.environ.get("SVT_BENCH_CHUNK", "1024"))
+    engine = TpuEngine([sample], chunk_size=chunk)
     # warmup: first full-size chunk triggers the dominant-bucket compile
-    engine.genotype_chunk(bps[: min(1024, len(bps))])
+    engine.genotype_chunk(bps[: min(chunk, len(bps))])
     t0 = time.time()
     results = engine.genotype_all(bps)
     dt = time.time() - t0
