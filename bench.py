@@ -79,10 +79,33 @@ def main():
     build_fixture()
     if os.environ.get("SVT_BENCH_CHILD") == "1":
         return _measure()
-    attempts = int(os.environ.get("SVT_BENCH_RETRIES", "3"))
-    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "180"))
+    attempts = int(os.environ.get("SVT_BENCH_RETRIES", "4"))
+    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "150"))
     env = dict(os.environ, SVT_BENCH_CHILD="1")
+
+    def relay_ok() -> bool:
+        """Cheap canary: a scatter-heavy jit close to the real program.
+        The relay's health oscillates; probing at ~40s a shot beats
+        burning 150s child attempts against a wedged relay."""
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "f=jax.jit(lambda v,s: jax.ops.segment_sum(v,s,num_segments=257));"
+                 "f(jnp.ones(65536,jnp.float32), jnp.zeros(65536,jnp.int32))"
+                 ".block_until_ready()"],
+                timeout=45, capture_output=True,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
     for i in range(attempts):
+        for _probe in range(4):
+            if relay_ok():
+                break
+            sys.stderr.write("relay canary wedged; waiting\n")
+            time.sleep(20)
         err_path = os.path.join(CACHE, "child_%d.stderr" % i)
         try:
             with open(err_path, "w") as err_fh:

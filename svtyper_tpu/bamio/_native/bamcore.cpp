@@ -182,11 +182,6 @@ static inline uint64_t fnv1a(const uint8_t* p, size_t n) {
   return hh;
 }
 
-struct CigarFeat {
-  int32_t ref_end, ref_aln, qlen, lsoft, rsoft, lclip, rclip;
-  // aligned blocks appended by caller
-};
-
 // out columns struct-of-arrays; capacities enforced by caller
 struct Cols {
   int32_t *tid, *pos, *ref_end;

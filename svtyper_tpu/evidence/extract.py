@@ -131,6 +131,7 @@ def prepare_chunk(
     v: Dict[str, List] = {name: [] for name, _ in VAR_FIELDS}
     regions: List[Tuple[str, int, int]] = []
     reg_var: List[int] = []
+    any_multi_window = False
     for vi, bp in enumerate(bps):
         if bp is None:
             for name, _ in VAR_FIELDS:
@@ -139,9 +140,12 @@ def prepare_chunk(
             continue
         force_null = bp.ci_width() > max_ci_dist
         if not force_null:
-            for win in fetch_windows(bp, flank):
+            wins = fetch_windows(bp, flank)
+            for win in wins:
                 regions.append(win)
                 reg_var.append(vi)
+            if len(wins) > 1:
+                any_multi_window = True
         v["tid_a"].append(name_to_tid.get(bp.chrom_a, -1))
         v["pos_a"].append(bp.pos_a)
         v["cia0"].append(bp.ci_a[0])
@@ -173,17 +177,20 @@ def prepare_chunk(
     libs = np.zeros(0, dtype=np.int32)
     if big.n:
         # dedup (var, voffset) keeping first occurrence in row order —
-        # A-window rows precede B-window rows per variant, like the
-        # oracle's gather (svtyper_tpu/oracle/engine.py::gather_reads)
-        order = np.lexsort((np.arange(big.n), big.voffset, var_of))
-        vo_s = big.voffset[order]
-        va_s = var_of[order]
-        dup = np.concatenate(
-            ([False], (vo_s[1:] == vo_s[:-1]) & (va_s[1:] == va_s[:-1]))
-        )
-        keep_rows = np.sort(order[~dup])
-        big = big.take(keep_rows)
-        var_of = var_of[keep_rows]
+        # only reachable when a variant has two disjoint windows AND a
+        # single alignment spans both (long D/N cigars); single-window
+        # variants can't produce duplicates
+        if any_multi_window:
+            order = np.lexsort((np.arange(big.n), big.voffset, var_of))
+            vo_s = big.voffset[order]
+            va_s = var_of[order]
+            dup = np.concatenate(
+                ([False], (vo_s[1:] == vo_s[:-1]) & (va_s[1:] == va_s[:-1]))
+            )
+            if dup.any():
+                keep_rows = np.sort(order[~dup])
+                big = big.take(keep_rows)
+                var_of = var_of[keep_rows]
         # flag + inactive-library filter (SPEC.md §3)
         lib_idx = sample.assign_libs(big)
         skip = 0x100 | 0x200 | 0x400 | 0x800
