@@ -21,6 +21,9 @@
 #include <unistd.h>
 #include <vector>
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
 static std::mutex g_err_mu;  // serializes handle error-string writes
 
@@ -89,6 +92,13 @@ struct VStream {
   std::vector<uint8_t> ub;
   size_t ub_coffset = SIZE_MAX;
   size_t ub_next = 0;
+#ifdef USE_LIBDEFLATE
+  // reusable decompressor: alloc once per stream, not per block
+  struct libdeflate_decompressor* ld = nullptr;
+  ~VStream() {
+    if (ld) libdeflate_free_decompressor(ld);
+  }
+#endif
 
   int inflate_here(size_t co) {
     if (ub_coffset == co) return 0;
@@ -118,6 +128,18 @@ struct VStream {
     uint32_t isize;
     memcpy(&isize, b + co + bsize - 4, 4);
     ub.resize(isize);
+#ifdef USE_LIBDEFLATE
+    if (isize) {
+      if (!ld) ld = libdeflate_alloc_decompressor();
+      size_t actual = 0;
+      enum libdeflate_result rc = libdeflate_deflate_decompress(
+          ld, b + xend, co + bsize - 8 - xend, ub.data(), isize, &actual);
+      if (rc != LIBDEFLATE_SUCCESS || actual != isize) {
+        { std::lock_guard<std::mutex> g(g_err_mu); h->error = "inflate failed"; }
+        return -1;
+      }
+    }
+#else
     if (isize) {
       z_stream zs;
       memset(&zs, 0, sizeof(zs));
@@ -133,6 +155,7 @@ struct VStream {
       inflateEnd(&zs);
       if (rc != Z_STREAM_END) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "inflate failed"; } return -1; }
     }
+#endif
     ub_coffset = co;
     ub_next = co + bsize;
     return 0;
@@ -197,6 +220,7 @@ struct Cols {
   uint8_t* sa_mapq;
   int32_t* sa_lead_clip_q;
   uint64_t* voffset;
+  uint8_t *cov_a, *cov_b;  // fetch_many coverage predicates (§4.1)
   int64_t* blk_off;   // capacity n+1
   int32_t *blk_start, *blk_end;  // capacity blk_cap
 };
@@ -488,6 +512,8 @@ long svt_decode(void* vh,
     out->sa_mapq[n] = sa.present ? sa.mapq : 0;
     out->sa_lead_clip_q[n] = sa.present ? sa.lead : 0;
     out->voffset[n] = vo;
+    out->cov_a[n] = 0;
+    out->cov_b[n] = 0;
     for (size_t i = 0; i < bstart.size(); i++) {
       out->blk_start[blk_n + (int64_t)i] = bstart[i];
       out->blk_end[blk_n + (int64_t)i] = bend[i];
@@ -519,6 +545,22 @@ long svt_fetch_many(void* vh,
                     const int64_t* range_off,
                     const uint64_t* range_beg,
                     const uint64_t* range_end_,
+                    // in-core filters + derived features (all nullable):
+                    // drop_flags: records with (flag & drop_flags) skipped
+                    // before the CIGAR walk; rg_keep/rg_to_lib: [n_rg+1]
+                    // tables (slot n_rg = no-RG), rows with !rg_keep
+                    // dropped and lib_id emitted already remapped;
+                    // cov_*: per-query breakpoint coords for the §4.1
+                    // aligned-coverage predicate, computed inline during
+                    // the CIGAR walk into out->cov_a/cov_b.
+                    int32_t drop_flags,
+                    const uint8_t* rg_keep,
+                    const int32_t* rg_to_lib,
+                    int32_t n_rg_tab,
+                    const int64_t* cov_tid_a, const int64_t* cov_pos_a,
+                    const int64_t* cov_tid_b, const int64_t* cov_pos_b,
+                    int32_t min_aligned,
+                    int32_t want_blocks,
                     // resume state (query_idx, range_idx, voffset); pass
                     // {0,0,UINT64_MAX} to start fresh
                     int64_t* io_query, int64_t* io_range, uint64_t* io_voffset,
@@ -530,10 +572,22 @@ long svt_fetch_many(void* vh,
   out->blk_off[0] = 0;
   std::vector<uint8_t> rec;
   std::vector<int32_t> bstart, bend;
+  const bool do_cov = cov_pos_a != nullptr;
   VStream vs{h, 0, 0};  // one stream: scratch block survives across ranges
   for (int64_t q = *io_query; q < n_queries; q++) {
     int32_t rtid = (int32_t)region_tid[q];
     int64_t rlo = region_start[q], rhi = region_end[q];
+    // §4.1 coverage windows for this query's variant
+    int64_t ca_tid = -1, ca_lo = 0, ca_hi = 0;
+    int64_t cb_tid = -1, cb_lo = 0, cb_hi = 0;
+    if (do_cov) {
+      ca_tid = cov_tid_a[q];
+      ca_lo = cov_pos_a[q] - min_aligned + 1;
+      ca_hi = cov_pos_a[q] + min_aligned + 1;
+      cb_tid = cov_tid_b[q];
+      cb_lo = cov_pos_b[q] - min_aligned + 1;
+      cb_hi = cov_pos_b[q] + min_aligned + 1;
+    }
     for (int64_t r = (q == *io_query ? *io_range : range_off[q]);
          r < range_off[q + 1]; r++) {
       uint64_t vo0 = range_beg[r];
@@ -570,6 +624,7 @@ long svt_fetch_many(void* vh,
         memcpy(&tlen, rec.data() + 28, 4);
         if (tid != rtid || pos >= rhi) break;  // coordinate-sorted
         if (flag & 0x4) continue;              // fetch drops unmapped
+        if (flag & drop_flags) continue;       // in-core flag filter
 
         size_t off = 32;
         const uint8_t* qname = rec.data() + off;
@@ -578,6 +633,7 @@ long svt_fetch_many(void* vh,
 
         int32_t cur = pos, ref_aln = 0, qlen = 0;
         int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
+        int64_t cov_acc_a = 0, cov_acc_b = 0;
         bstart.clear();
         bend.clear();
         int32_t open_start = INT32_MIN;
@@ -607,10 +663,17 @@ long svt_fetch_many(void* vh,
             if (OP_CQ & (1u << op)) qlen += (int32_t)len;
             if (OP_AL & (1u << op)) {
               ref_aln += (int32_t)len;
-              if (open_start == INT32_MIN) open_start = cur;
+              if (do_cov) {
+                int64_t s = cur, e = cur + (int64_t)len;
+                int64_t oa = (e < ca_hi ? e : ca_hi) - (s > ca_lo ? s : ca_lo);
+                if (oa > 0) cov_acc_a += oa;
+                int64_t ob = (e < cb_hi ? e : cb_hi) - (s > cb_lo ? s : cb_lo);
+                if (ob > 0) cov_acc_b += ob;
+              }
+              if (want_blocks && open_start == INT32_MIN) open_start = cur;
               cur += (int32_t)len;
             } else if (OP_CR & (1u << op)) {
-              if (open_start != INT32_MIN) {
+              if (want_blocks && open_start != INT32_MIN) {
                 bstart.push_back(open_start);
                 bend.push_back(cur);
                 open_start = INT32_MIN;
@@ -621,7 +684,7 @@ long svt_fetch_many(void* vh,
           rclip = trail_clip;
           rsoft = trail_soft;
         }
-        if (open_start != INT32_MIN) {
+        if (want_blocks && open_start != INT32_MIN) {
           bstart.push_back(open_start);
           bend.push_back(cur);
         }
@@ -679,6 +742,13 @@ long svt_fetch_many(void* vh,
           }
         }
 
+        // RG keep/remap tables (slot n_rg_tab = reads with no RG tag)
+        if (rg_keep || rg_to_lib) {
+          int32_t slot = (lib >= 0 && lib < n_rg_tab) ? lib : n_rg_tab;
+          if (rg_keep && !rg_keep[slot]) continue;
+          if (rg_to_lib) lib = rg_to_lib[slot];
+        }
+
         if (n >= cap_rows || blk_n + (int64_t)bstart.size() > cap_blocks) {
           *io_query = q;
           *io_range = r;
@@ -710,6 +780,10 @@ long svt_fetch_many(void* vh,
         out->sa_mapq[n] = sa.present ? sa.mapq : 0;
         out->sa_lead_clip_q[n] = sa.present ? sa.lead : 0;
         out->voffset[n] = vo;
+        out->cov_a[n] =
+            do_cov && tid == ca_tid && cov_acc_a == 2 * (int64_t)min_aligned;
+        out->cov_b[n] =
+            do_cov && tid == cb_tid && cov_acc_b == 2 * (int64_t)min_aligned;
         out_query_id[n] = (int32_t)q;
         for (size_t i = 0; i < bstart.size(); i++) {
           out->blk_start[blk_n + (int64_t)i] = bstart[i];

@@ -179,13 +179,18 @@ class BamFile:
         return batch
 
     def fetch_many(
-        self, regions: List[Tuple[str, int, int]]
+        self, regions: List[Tuple[str, int, int]], filt=None
     ) -> Tuple[ReadBatch, "np.ndarray"]:
         """Batched fetch of many regions in one native call.
 
         Returns (batch, region_id per row); rows arrive grouped by
         region in input order, each region's rows in coordinate order —
         identical to concatenating single ``fetch`` results.
+
+        ``filt`` (a :class:`svtyper_tpu.bamio.native.FetchFilter`) pushes
+        flag/read-group filtering and the aligned-coverage predicate into
+        the decode loop; the pure-Python path applies the identical
+        filters post-hoc so outputs match the native core byte-for-byte.
         """
         prepared = []  # (region_idx, tid, lo, hi, ranges)
         for qi, (chrom, start, end) in enumerate(regions):
@@ -201,6 +206,7 @@ class BamFile:
                 prepared.append((qi, tid, lo, hi, ranges))
         if not prepared:
             return ReadBatch(0), np.zeros(0, dtype=np.int32)
+        remap = np.array([p[0] for p in prepared], dtype=np.int32)
         native = self._get_native()
         if native is not None:
             rt = np.array([p[1] for p in prepared], dtype=np.int64)
@@ -212,12 +218,12 @@ class BamFile:
             flat = [rng for p in prepared for rng in p[4]]
             rb = np.array([c[0] for c in flat], dtype=np.uint64)
             rn = np.array([c[1] for c in flat], dtype=np.uint64)
+            nfilt = filt.slice_take(remap) if filt is not None else None
             batch, qid = native.fetch_many(
-                rt, rs, re_, ro, rb, rn, threads=self._threads
+                rt, rs, re_, ro, rb, rn, threads=self._threads, filt=nfilt
             )
-            remap = np.array([p[0] for p in prepared], dtype=np.int32)
             return batch, remap[qid]
-        # python fallback: sequential fetches
+        # python fallback: sequential fetches + post-hoc filter
         batches, ids = [], []
         for qi, tid, lo, hi, ranges in prepared:
             b = self.fetch(self.header.ref_names[tid], lo, hi)
@@ -226,7 +232,11 @@ class BamFile:
                 ids.append(np.full(b.n, qi, dtype=np.int32))
         if not batches:
             return ReadBatch(0), np.zeros(0, dtype=np.int32)
-        return ReadBatch.concat(batches), np.concatenate(ids)
+        batch = ReadBatch.concat(batches)
+        rid = np.concatenate(ids)
+        if filt is not None:
+            batch, rid = _apply_filter_py(batch, rid, filt)
+        return batch, rid
 
     def scan(
         self,
@@ -268,6 +278,38 @@ class BamFile:
             (size,) = struct.unpack("<i", vs.read(4))
             out.append(vs.read(size))
         return out
+
+
+def _apply_filter_py(batch: ReadBatch, rid: np.ndarray, filt):
+    """Python twin of the bamcore in-loop FetchFilter (flag drop, RG
+    keep/remap, §4.1 coverage) — applied post-hoc on the fallback path so
+    both paths return identical batches."""
+    from svtyper_tpu.bamio.columns import coverage_from_blocks
+
+    keep = np.ones(batch.n, dtype=bool)
+    if filt.drop_flags:
+        keep &= (batch.flag & filt.drop_flags) == 0
+    lib = batch.lib_id
+    if filt.rg_keep is not None or filt.rg_to_lib is not None:
+        tab = filt.rg_to_lib if filt.rg_to_lib is not None else filt.rg_keep
+        n_tab = len(tab) - 1
+        slot = np.where((lib >= 0) & (lib < n_tab), lib, n_tab)
+        if filt.rg_keep is not None:
+            keep &= filt.rg_keep[slot].astype(bool)
+        if filt.rg_to_lib is not None:
+            lib = filt.rg_to_lib[slot]
+    idx = np.flatnonzero(keep)
+    out = batch.take(idx)
+    rid = rid[idx]
+    out.lib_id = lib[idx].astype(np.int32)
+    if filt.cov_pos_a is not None and out.n:
+        out.cov_a = coverage_from_blocks(
+            out, filt.cov_pos_a[rid], filt.cov_tid_a[rid], filt.min_aligned
+        )
+        out.cov_b = coverage_from_blocks(
+            out, filt.cov_pos_b[rid], filt.cov_tid_b[rid], filt.min_aligned
+        )
+    return out, rid
 
 
 def open_bam(path: str) -> BamFile:

@@ -51,6 +51,10 @@ _FIELDS = [
     ("sa_mapq", np.uint8),
     ("sa_lead_clip_q", np.int32),
     ("voffset", np.uint64),
+    # §4.1 aligned-coverage predicates, filled by bamcore fetch_many when
+    # a FetchFilter supplies breakpoint coords (zeros otherwise)
+    ("cov_a", np.bool_),
+    ("cov_b", np.bool_),
 ]
 
 FIELD_NAMES = [name for name, _ in _FIELDS]
@@ -79,12 +83,20 @@ class ReadBatch:
         n = len(cols["pos"])
         b.n = n
         for name, dt in _FIELDS:
-            arr = np.asarray(cols[name], dtype=dt)
-            assert len(arr) == n
+            if name in cols:
+                arr = np.asarray(cols[name], dtype=dt)
+                assert len(arr) == n
+            else:  # decoders without this column (e.g. cov_* pre-filter)
+                arr = np.zeros(n, dtype=dt)
             setattr(b, name, arr)
-        b.blk_off = np.asarray(cols["blk_off"], dtype=np.int64)
-        b.blk_start = np.asarray(cols["blk_start"], dtype=np.int32)
-        b.blk_end = np.asarray(cols["blk_end"], dtype=np.int32)
+        if "blk_off" in cols:
+            b.blk_off = np.asarray(cols["blk_off"], dtype=np.int64)
+            b.blk_start = np.asarray(cols["blk_start"], dtype=np.int32)
+            b.blk_end = np.asarray(cols["blk_end"], dtype=np.int32)
+        else:  # blocks skipped (FetchFilter.want_blocks=False)
+            b.blk_off = np.zeros(n + 1, dtype=np.int64)
+            b.blk_start = np.zeros(0, dtype=np.int32)
+            b.blk_end = np.zeros(0, dtype=np.int32)
         return b
 
     @property
@@ -136,6 +148,30 @@ def _ragged_gather_indices(off: np.ndarray, idx: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     out = np.repeat(starts - np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
     return out + np.arange(total, dtype=np.int64)
+
+
+def coverage_from_blocks(
+    batch: "ReadBatch", p0: np.ndarray, tid: np.ndarray, min_aligned: int
+) -> np.ndarray:
+    """SPEC.md §4.1 aligned-coverage predicate from the ragged block
+    arrays: M/=/X overlap with [p0-min_aligned+1, p0+min_aligned+1) must
+    equal 2*min_aligned. Python-fallback twin of the bamcore inline
+    computation (FetchFilter cov_*)."""
+    n = batch.n
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    counts = np.diff(batch.blk_off)
+    row = np.repeat(np.arange(n), counts)
+    lo = (p0 - min_aligned + 1)[row]
+    hi = (p0 + min_aligned + 1)[row]
+    ov = np.clip(
+        np.minimum(batch.blk_end, hi) - np.maximum(batch.blk_start, lo),
+        0,
+        None,
+    )
+    cov = np.zeros(n, dtype=np.int64)
+    np.add.at(cov, row, ov)
+    return (cov == 2 * min_aligned) & (batch.tid == tid)
 
 
 def qname_hash_bytes(qname: bytes) -> int:

@@ -50,6 +50,8 @@ class _Cols(C.Structure):
         ("sa_mapq", C.POINTER(C.c_uint8)),
         ("sa_lead_clip_q", C.POINTER(C.c_int32)),
         ("voffset", C.POINTER(C.c_uint64)),
+        ("cov_a", C.POINTER(C.c_uint8)),
+        ("cov_b", C.POINTER(C.c_uint8)),
         ("blk_off", C.POINTER(C.c_int64)),
         ("blk_start", C.POINTER(C.c_int32)),
         ("blk_end", C.POINTER(C.c_int32)),
@@ -104,6 +106,14 @@ def get_lib():
             C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
             C.POINTER(C.c_int64),
             C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
+            # filter block: drop_flags, rg_keep, rg_to_lib, n_rg_tab,
+            # cov_tid_a, cov_pos_a, cov_tid_b, cov_pos_b, min_aligned,
+            # want_blocks
+            C.c_int32,
+            C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int32,
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.c_int32, C.c_int32,
             C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
             C.c_int64, C.c_int64,
             C.POINTER(_Cols), C.POINTER(C.c_int32), C.POINTER(C.c_int64),
@@ -136,8 +146,66 @@ _COL_DTYPES = [
     ("lib_id", np.int32), ("has_sa", np.uint8), ("sa_tid", np.int32),
     ("sa_pos", np.int32), ("sa_end", np.int32), ("sa_is_reverse", np.uint8),
     ("sa_mapq", np.uint8), ("sa_lead_clip_q", np.int32),
-    ("voffset", np.uint64),
+    ("voffset", np.uint64), ("cov_a", np.uint8), ("cov_b", np.uint8),
 ]
+
+
+class FetchFilter:
+    """In-core fetch filtering + derived features (bamcore fetch_many).
+
+    ``rg_keep``/``rg_to_lib`` are [n_rg+1] tables (slot n_rg = no-RG
+    reads); ``cov_*`` are per-REGION breakpoint coords for the §4.1
+    aligned-coverage predicate (int64, tid -1 disables a side).
+    """
+
+    __slots__ = ("drop_flags", "rg_keep", "rg_to_lib", "cov_tid_a",
+                 "cov_pos_a", "cov_tid_b", "cov_pos_b", "min_aligned",
+                 "want_blocks")
+
+    def __init__(
+        self,
+        drop_flags: int = 0,
+        rg_keep: Optional[np.ndarray] = None,
+        rg_to_lib: Optional[np.ndarray] = None,
+        cov_tid_a: Optional[np.ndarray] = None,
+        cov_pos_a: Optional[np.ndarray] = None,
+        cov_tid_b: Optional[np.ndarray] = None,
+        cov_pos_b: Optional[np.ndarray] = None,
+        min_aligned: int = 20,
+        want_blocks: bool = False,
+    ) -> None:
+        self.drop_flags = drop_flags
+        self.rg_keep = rg_keep
+        self.rg_to_lib = rg_to_lib
+        self.cov_tid_a = cov_tid_a
+        self.cov_pos_a = cov_pos_a
+        self.cov_tid_b = cov_tid_b
+        self.cov_pos_b = cov_pos_b
+        self.min_aligned = min_aligned
+        self.want_blocks = want_blocks
+
+    def slice(self, q0: int, q1: int) -> "FetchFilter":
+        """Per-query arrays restricted to [q0, q1) (thread partitions)."""
+        out = FetchFilter(self.drop_flags, self.rg_keep, self.rg_to_lib,
+                          min_aligned=self.min_aligned,
+                          want_blocks=self.want_blocks)
+        for f in ("cov_tid_a", "cov_pos_a", "cov_tid_b", "cov_pos_b"):
+            arr = getattr(self, f)
+            setattr(out, f, arr[q0:q1] if arr is not None else None)
+        return out
+
+    def slice_take(self, idx: np.ndarray) -> "FetchFilter":
+        """Per-query arrays gathered by ``idx`` (region→query remap)."""
+        out = FetchFilter(self.drop_flags, self.rg_keep, self.rg_to_lib,
+                          min_aligned=self.min_aligned,
+                          want_blocks=self.want_blocks)
+        for f in ("cov_tid_a", "cov_pos_a", "cov_tid_b", "cov_pos_b"):
+            arr = getattr(self, f)
+            setattr(
+                out, f,
+                np.ascontiguousarray(arr[idx]) if arr is not None else None,
+            )
+        return out
 
 
 def _char_pp(strings: List[str]):
@@ -242,6 +310,7 @@ class NativeBam:
         rb: np.ndarray,
         rn: np.ndarray,
         cap_hint: int,
+        filt: Optional[FetchFilter] = None,
     ) -> Tuple[ReadBatch, np.ndarray]:
         q = len(rt)
         io_q = C.c_int64(0)
@@ -251,6 +320,41 @@ class NativeBam:
         parts: List[Dict[str, np.ndarray]] = []
         qids: List[np.ndarray] = []
         cap = max(bs.cap, cap_hint, 1024)
+
+        def i64p(a):
+            return (
+                a.ctypes.data_as(C.POINTER(C.c_int64))
+                if a is not None
+                else None
+            )
+
+        if filt is not None:
+            drop_flags = filt.drop_flags
+            rg_keep = (
+                filt.rg_keep.ctypes.data_as(C.POINTER(C.c_uint8))
+                if filt.rg_keep is not None
+                else None
+            )
+            rg_to_lib = (
+                filt.rg_to_lib.ctypes.data_as(C.POINTER(C.c_int32))
+                if filt.rg_to_lib is not None
+                else None
+            )
+            n_rg_tab = (
+                len(filt.rg_to_lib) - 1 if filt.rg_to_lib is not None
+                else (len(filt.rg_keep) - 1 if filt.rg_keep is not None else 0)
+            )
+            cta, cpa = i64p(filt.cov_tid_a), i64p(filt.cov_pos_a)
+            ctb, cpb = i64p(filt.cov_tid_b), i64p(filt.cov_pos_b)
+            min_aligned = filt.min_aligned
+            want_blocks = 1 if filt.want_blocks else 0
+        else:
+            drop_flags = 0
+            rg_keep = rg_to_lib = None
+            n_rg_tab = 0
+            cta = cpa = ctb = cpb = None
+            min_aligned = 0
+            want_blocks = 1
         while True:
             bs.ensure(cap)
             n = self._lib.svt_fetch_many(
@@ -261,6 +365,8 @@ class NativeBam:
                 ro.ctypes.data_as(C.POINTER(C.c_int64)),
                 rb.ctypes.data_as(C.POINTER(C.c_uint64)),
                 rn.ctypes.data_as(C.POINTER(C.c_uint64)),
+                drop_flags, rg_keep, rg_to_lib, n_rg_tab,
+                cta, cpa, ctb, cpb, min_aligned, want_blocks,
                 C.byref(io_q), C.byref(io_r), C.byref(io_v),
                 bs.cap, bs.cap * 2,
                 C.byref(bs.cols),
@@ -273,10 +379,11 @@ class NativeBam:
                 )
             rows = int(nrows.value)
             d = {name: bs.bufs[name][:rows].copy() for name, _ in _COL_DTYPES}
-            nblk = int(bs.blk_off[rows])
-            d["blk_off"] = bs.blk_off[: rows + 1].copy()
-            d["blk_start"] = bs.blk_start[:nblk].copy()
-            d["blk_end"] = bs.blk_end[:nblk].copy()
+            if want_blocks:
+                nblk = int(bs.blk_off[rows])
+                d["blk_off"] = bs.blk_off[: rows + 1].copy()
+                d["blk_start"] = bs.blk_start[:nblk].copy()
+                d["blk_end"] = bs.blk_end[:nblk].copy()
             parts.append(d)
             qids.append(bs.qid[:rows].copy())
             if n != -2:
@@ -297,6 +404,7 @@ class NativeBam:
         range_end: np.ndarray,
         cap_hint: int = 1 << 16,
         threads: int = 1,
+        filt: Optional[FetchFilter] = None,
     ) -> Tuple[ReadBatch, np.ndarray]:
         """Batched multi-region fetch → (batch, query_id per row).
 
@@ -314,7 +422,7 @@ class NativeBam:
         q = len(rt)
         if threads <= 1 or q < 2 * threads:
             return self._fetch_slice(
-                self._bufsets[0], rt, rs, re_, ro, rb, rn, cap_hint
+                self._bufsets[0], rt, rs, re_, ro, rb, rn, cap_hint, filt
             )
         while len(self._bufsets) < threads:
             self._bufsets.append(_BufSet())
@@ -338,6 +446,7 @@ class NativeBam:
                 np.ascontiguousarray(ro[q0 : q1 + 1] - ro[q0]),
                 rb[r0:r1], rn[r0:r1],
                 max(cap_hint // threads, 1024),
+                filt.slice(q0, q1) if filt is not None else None,
             )
             return batch, qid + q0
 

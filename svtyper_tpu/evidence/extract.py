@@ -12,7 +12,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from svtyper_tpu.bamio.columns import FMUNMAP, FPAIRED, ReadBatch
+from svtyper_tpu.bamio.columns import FMUNMAP, FPAIRED
+from svtyper_tpu.bamio.native import FetchFilter
 from svtyper_tpu.breakpoints import Breakpoint, fetch_windows
 from svtyper_tpu.oracle.engine import Z_FLANK
 from svtyper_tpu.stats.library import Sample
@@ -87,28 +88,6 @@ def _bucket(n: int, floor: int = 256) -> int:
     return b
 
 
-def _coverage_ok(
-    batch: ReadBatch, p0: np.ndarray, tid: np.ndarray, min_aligned: int
-) -> np.ndarray:
-    """SPEC.md §4.1 test, vectorized over the ragged block arrays:
-    M/=/X overlap with [p0-min_aligned+1, p0+min_aligned+1) == 2*min_aligned."""
-    n = batch.n
-    if n == 0:
-        return np.zeros(0, dtype=bool)
-    counts = np.diff(batch.blk_off)
-    row = np.repeat(np.arange(n), counts)
-    lo = (p0 - min_aligned + 1)[row]
-    hi = (p0 + min_aligned + 1)[row]
-    ov = np.clip(
-        np.minimum(batch.blk_end, hi) - np.maximum(batch.blk_start, lo),
-        0,
-        None,
-    )
-    cov = np.zeros(n, dtype=np.int64)
-    np.add.at(cov, row, ov)
-    return (cov == 2 * min_aligned) & (batch.tid == tid)
-
-
 def prepare_chunk(
     sample: Sample,
     bps: List[Optional[Breakpoint]],
@@ -167,14 +146,28 @@ def prepare_chunk(
         for name, dt in VAR_FIELDS
     }
 
-    # ---- one batched fetch for every window of the chunk
-    big, rid = sample.bam.fetch_many(regions)
+    # ---- one batched fetch for every window of the chunk, with flag/RG
+    # filtering and the §4.1 coverage predicate computed inside the
+    # decode loop (bamcore FetchFilter)
+    reg_var_arr = np.asarray(reg_var, dtype=np.int64)
+    rg_keep, rg_to_lib = sample.fetch_filter_tables()
+    filt = FetchFilter(
+        drop_flags=0x100 | 0x200 | 0x400 | 0x800,
+        rg_keep=rg_keep,
+        rg_to_lib=rg_to_lib,
+        cov_tid_a=variants["tid_a"][reg_var_arr].astype(np.int64),
+        cov_pos_a=variants["pos_a"][reg_var_arr].astype(np.int64),
+        cov_tid_b=variants["tid_b"][reg_var_arr].astype(np.int64),
+        cov_pos_b=variants["pos_b"][reg_var_arr].astype(np.int64),
+        min_aligned=min_aligned,
+        want_blocks=False,
+    )
+    big, rid = sample.bam.fetch_many(regions, filt=filt)
     var_of = (
         np.asarray(reg_var, dtype=np.int32)[rid]
         if big.n
         else np.zeros(0, dtype=np.int32)
     )
-    libs = np.zeros(0, dtype=np.int32)
     if big.n:
         # dedup (var, voffset) keeping first occurrence in row order —
         # only reachable when a variant has two disjoint windows AND a
@@ -191,14 +184,6 @@ def prepare_chunk(
                 keep_rows = np.sort(order[~dup])
                 big = big.take(keep_rows)
                 var_of = var_of[keep_rows]
-        # flag + inactive-library filter (SPEC.md §3)
-        lib_idx = sample.assign_libs(big)
-        skip = 0x100 | 0x200 | 0x400 | 0x800
-        keep = ((big.flag & skip) == 0) & sample.is_active_lib(lib_idx)
-        idx = np.flatnonzero(keep)
-        big = big.take(idx)
-        var_of = var_of[idx]
-        libs = lib_idx[idx]
         # per-variant read cap → null genotype (SPEC.md §3)
         if max_reads is not None and big.n:
             per_var = np.bincount(var_of, minlength=n_var)
@@ -208,12 +193,6 @@ def prepare_chunk(
                 sel = np.flatnonzero(~over[var_of])
                 big = big.take(sel)
                 var_of = var_of[sel]
-                libs = libs[sel]
-
-    pa = variants["pos_a"][var_of] if big.n else np.zeros(0, dtype=np.int64)
-    pb = variants["pos_b"][var_of] if big.n else np.zeros(0, dtype=np.int64)
-    ta = variants["tid_a"][var_of] if big.n else np.zeros(0, dtype=np.int64)
-    tb = variants["tid_b"][var_of] if big.n else np.zeros(0, dtype=np.int64)
 
     reads = {
         "var": var_of,
@@ -226,8 +205,8 @@ def prepare_chunk(
         "has_lsoft": big.left_soft > 0,
         "has_rsoft": big.right_soft > 0,
         "lead": big.lead_clip_q,
-        "cov_a": _coverage_ok(big, pa, ta, min_aligned),
-        "cov_b": _coverage_ok(big, pb, tb, min_aligned),
+        "cov_a": big.cov_a,
+        "cov_b": big.cov_b,
         "has_sa": big.has_sa,
         "sa_tid": big.sa_tid,
         "sa_pos": big.sa_pos,
@@ -235,7 +214,7 @@ def prepare_chunk(
         "sa_rev": big.sa_is_reverse,
         "sa_mapq": big.sa_mapq.astype(np.int32),
         "sa_lead": big.sa_lead_clip_q,
-        "lib": libs,
+        "lib": big.lib_id,
     }
 
     # ---- fragment pair table (host: integer sort + boundaries)

@@ -315,6 +315,20 @@ class Sample:
         active[self._active_lib_idx] = True
         return active[np.clip(lib_idx, 0, len(self.libraries))] & (lib_idx >= 0)
 
+    def fetch_filter_tables(self):
+        """(rg_keep[u8], rg_to_lib[i32]) tables for bamcore's in-loop
+        filter — [n_rg+1] with slot n_rg = reads carrying no RG tag.
+        Encodes assign_libs + is_active_lib exactly (single-library
+        samples adopt orphan reads; inactive libraries dropped)."""
+        n_rg = len(self._rg_idx_to_lib)
+        rg_to_lib = np.empty(n_rg + 1, dtype=np.int32)
+        rg_to_lib[:n_rg] = self._rg_idx_to_lib
+        rg_to_lib[n_rg] = -1
+        if len(self.libraries) == 1:
+            rg_to_lib = np.where(rg_to_lib < 0, 0, rg_to_lib).astype(np.int32)
+        rg_keep = self.is_active_lib(rg_to_lib).astype(np.uint8)
+        return np.ascontiguousarray(rg_keep), np.ascontiguousarray(rg_to_lib)
+
     def dens_matrix(self, max_insert: Optional[int] = None) -> np.ndarray:
         """[n_libs, max_insert+1] float64 density table (device gathers)."""
         if max_insert is None:
