@@ -179,7 +179,8 @@ class BamFile:
         return batch
 
     def fetch_many(
-        self, regions: List[Tuple[str, int, int]], filt=None
+        self, regions: List[Tuple[str, int, int]], filt=None,
+        transient: bool = False,
     ) -> Tuple[ReadBatch, "np.ndarray"]:
         """Batched fetch of many regions in one native call.
 
@@ -220,7 +221,8 @@ class BamFile:
             rn = np.array([c[1] for c in flat], dtype=np.uint64)
             nfilt = filt.slice_take(remap) if filt is not None else None
             batch, qid = native.fetch_many(
-                rt, rs, re_, ro, rb, rn, threads=self._threads, filt=nfilt
+                rt, rs, re_, ro, rb, rn, threads=self._threads, filt=nfilt,
+                transient=transient,
             )
             return batch, remap[qid]
         # python fallback: sequential fetches + post-hoc filter

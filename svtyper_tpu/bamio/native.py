@@ -311,7 +311,11 @@ class NativeBam:
         rn: np.ndarray,
         cap_hint: int,
         filt: Optional[FetchFilter] = None,
+        copy: bool = True,
     ) -> Tuple[ReadBatch, np.ndarray]:
+        """``copy=False`` returns views into this bufset's buffers —
+        valid only until its next fetch; used by the threaded path where
+        ReadBatch.concat immediately materializes a private copy."""
         q = len(rt)
         io_q = C.c_int64(0)
         io_r = C.c_int64(0)
@@ -378,14 +382,26 @@ class NativeBam:
                     self._lib.svt_error(self._h).decode() or "fetch error"
                 )
             rows = int(nrows.value)
-            d = {name: bs.bufs[name][:rows].copy() for name, _ in _COL_DTYPES}
+            # capacity-retry parts always copy: the resume loop replaces
+            # the buffers (ensure grows), but equal-cap reuse would alias
+            part_copy = copy or n == -2
+            d = {
+                name: (
+                    bs.bufs[name][:rows].copy()
+                    if part_copy
+                    else bs.bufs[name][:rows]
+                )
+                for name, _ in _COL_DTYPES
+            }
             if want_blocks:
                 nblk = int(bs.blk_off[rows])
                 d["blk_off"] = bs.blk_off[: rows + 1].copy()
                 d["blk_start"] = bs.blk_start[:nblk].copy()
                 d["blk_end"] = bs.blk_end[:nblk].copy()
             parts.append(d)
-            qids.append(bs.qid[:rows].copy())
+            qids.append(
+                bs.qid[:rows].copy() if part_copy else bs.qid[:rows]
+            )
             if n != -2:
                 break
             cap = bs.cap * 2
@@ -405,6 +421,7 @@ class NativeBam:
         cap_hint: int = 1 << 16,
         threads: int = 1,
         filt: Optional[FetchFilter] = None,
+        transient: bool = False,
     ) -> Tuple[ReadBatch, np.ndarray]:
         """Batched multi-region fetch → (batch, query_id per row).
 
@@ -412,6 +429,11 @@ class NativeBam:
         decoded concurrently (the C call releases the GIL; the handle is
         read-only, each slice gets its own buffer set) and re-concatenated
         in query order — output identical to the single-thread path.
+
+        ``transient=True`` lets the result alias this handle's reusable
+        decode buffers (valid only until the next fetch on this handle) —
+        callers that immediately repack rows, like evidence.extract, skip
+        one full copy of every column.
         """
         rt = np.ascontiguousarray(region_tid, dtype=np.int64)
         rs = np.ascontiguousarray(region_start, dtype=np.int64)
@@ -422,7 +444,8 @@ class NativeBam:
         q = len(rt)
         if threads <= 1 or q < 2 * threads:
             return self._fetch_slice(
-                self._bufsets[0], rt, rs, re_, ro, rb, rn, cap_hint, filt
+                self._bufsets[0], rt, rs, re_, ro, rb, rn, cap_hint, filt,
+                copy=not transient,
             )
         while len(self._bufsets) < threads:
             self._bufsets.append(_BufSet())
@@ -447,6 +470,7 @@ class NativeBam:
                 rb[r0:r1], rn[r0:r1],
                 max(cap_hint // threads, 1024),
                 filt.slice(q0, q1) if filt is not None else None,
+                copy=not transient,
             )
             return batch, qid + q0
 

@@ -18,14 +18,17 @@ from svtyper_tpu.breakpoints import Breakpoint, fetch_windows
 from svtyper_tpu.oracle.engine import Z_FLANK
 from svtyper_tpu.stats.library import Sample
 
+# device-tensor dtypes are minimized to cut the host→TPU transfer
+# (latency-bound tunnel): mapq fits u8, read-length-bounded fields i16
 READ_FIELDS = [
     ("var", np.int32),
     ("is_rev", np.bool_),
     ("tid", np.int32),
     ("pos", np.int32),
     ("end", np.int32),
-    ("mapq", np.int32),
-    ("ref_aln", np.int32),
+    ("mapq", np.uint8),
+    # only the >= min_aligned predicate reads this → clipped to i16 range
+    ("ref_aln", np.int16),
     ("has_lsoft", np.bool_),
     ("has_rsoft", np.bool_),
     ("lead", np.int32),
@@ -36,9 +39,9 @@ READ_FIELDS = [
     ("sa_pos", np.int32),
     ("sa_end", np.int32),
     ("sa_rev", np.bool_),
-    ("sa_mapq", np.int32),
+    ("sa_mapq", np.uint8),
     ("sa_lead", np.int32),
-    ("lib", np.int32),
+    ("lib", np.int16),
 ]
 
 VAR_FIELDS = [
@@ -162,12 +165,18 @@ def prepare_chunk(
         min_aligned=min_aligned,
         want_blocks=False,
     )
-    big, rid = sample.bam.fetch_many(regions, filt=filt)
+    # transient: rows are repacked into padded device buffers below, so
+    # the batch may alias the decoder's reusable buffers (one copy saved)
+    big, rid = sample.bam.fetch_many(regions, filt=filt, transient=True)
     var_of = (
         np.asarray(reg_var, dtype=np.int32)[rid]
         if big.n
         else np.zeros(0, dtype=np.int32)
     )
+    # ---- row selection (dedup + read cap) as ONE index gather, applied
+    # while filling the padded device buffers — no intermediate
+    # ReadBatch.take() copies of all 25 columns
+    sel = None  # None = keep every row
     if big.n:
         # dedup (var, voffset) keeping first occurrence in row order —
         # only reachable when a variant has two disjoint windows AND a
@@ -181,59 +190,73 @@ def prepare_chunk(
                 ([False], (vo_s[1:] == vo_s[:-1]) & (va_s[1:] == va_s[:-1]))
             )
             if dup.any():
-                keep_rows = np.sort(order[~dup])
-                big = big.take(keep_rows)
-                var_of = var_of[keep_rows]
+                sel = np.sort(order[~dup])
+                var_of = var_of[sel]
         # per-variant read cap → null genotype (SPEC.md §3)
-        if max_reads is not None and big.n:
+        if max_reads is not None and len(var_of):
             per_var = np.bincount(var_of, minlength=n_var)
             over = per_var > max_reads
             if over.any():
                 variants["force_null"] = variants["force_null"] | over[:n_var]
-                sel = np.flatnonzero(~over[var_of])
-                big = big.take(sel)
-                var_of = var_of[sel]
+                keep2 = ~over[var_of]
+                var_of = var_of[keep2]
+                sel = (
+                    np.flatnonzero(keep2)
+                    if sel is None
+                    else sel[keep2]
+                )
+    n_rows = len(var_of)
+
+    r_pad = max(pad_reads or 0, _bucket(max(n_rows, 1)))
+
+    def rcol(src, dt, fill=0):
+        padded = np.full(r_pad, fill, dtype=dt)
+        padded[:n_rows] = src if sel is None else src[sel]
+        return padded
 
     reads = {
-        "var": var_of,
-        "is_rev": big.is_reverse,
-        "tid": big.tid,
-        "pos": big.pos,
-        "end": big.ref_end,
-        "mapq": big.mapq.astype(np.int32),
-        "ref_aln": big.ref_aln_len,
-        "has_lsoft": big.left_soft > 0,
-        "has_rsoft": big.right_soft > 0,
-        "lead": big.lead_clip_q,
-        "cov_a": big.cov_a,
-        "cov_b": big.cov_b,
-        "has_sa": big.has_sa,
-        "sa_tid": big.sa_tid,
-        "sa_pos": big.sa_pos,
-        "sa_end": big.sa_end,
-        "sa_rev": big.sa_is_reverse,
-        "sa_mapq": big.sa_mapq.astype(np.int32),
-        "sa_lead": big.sa_lead_clip_q,
-        "lib": big.lib_id,
+        "var": _pad_arr(var_of, np.int32, r_pad, n_var),
+        "is_rev": rcol(big.is_reverse, np.bool_),
+        "tid": rcol(big.tid, np.int32),
+        "pos": rcol(big.pos, np.int32),
+        "end": rcol(big.ref_end, np.int32),
+        "mapq": rcol(big.mapq, np.uint8),
+        "ref_aln": rcol(np.minimum(big.ref_aln_len, 0x7FFF), np.int16),
+        "has_lsoft": rcol(big.left_soft > 0, np.bool_),
+        "has_rsoft": rcol(big.right_soft > 0, np.bool_),
+        "lead": rcol(big.lead_clip_q, np.int32),
+        "cov_a": rcol(big.cov_a, np.bool_),
+        "cov_b": rcol(big.cov_b, np.bool_),
+        "has_sa": rcol(big.has_sa, np.bool_),
+        "sa_tid": rcol(big.sa_tid, np.int32),
+        "sa_pos": rcol(big.sa_pos, np.int32),
+        "sa_end": rcol(big.sa_end, np.int32),
+        "sa_rev": rcol(big.sa_is_reverse, np.bool_),
+        "sa_mapq": rcol(big.sa_mapq, np.uint8),
+        "sa_lead": rcol(big.sa_lead_clip_q, np.int32),
+        "lib": rcol(np.minimum(big.lib_id, 0x7FFF), np.int16),
     }
 
-    # ---- fragment pair table (host: integer sort + boundaries)
-    eligible = ((big.flag & FPAIRED) != 0) & ((big.flag & FMUNMAP) == 0)
+    # ---- fragment pair table (host: integer sort + boundaries) over the
+    # SELECTED rows; p_a/p_b index the padded read table
+    flag = big.flag if sel is None else big.flag[sel]
+    qh = big.qname_hash if sel is None else big.qname_hash[sel]
+    eligible = ((flag & FPAIRED) != 0) & ((flag & FMUNMAP) == 0)
     el = np.flatnonzero(eligible)
     if len(el):
         order = el[
             np.lexsort(
                 (
                     np.arange(len(el)),  # stable within equal keys
-                    big.pos[el],
-                    big.tid[el],
-                    big.qname_hash[el],
+                    reads["pos"][el],
+                    reads["tid"][el],
+                    qh[el],
                     var_of[el],
                 )
             )
         ]
         key_var = var_of[order]
-        key_q = big.qname_hash[order]
+        key_q = qh[order]
         new = np.concatenate(
             ([True], (key_var[1:] != key_var[:-1]) | (key_q[1:] != key_q[:-1]))
         )
@@ -247,42 +270,19 @@ def prepare_chunk(
         p_a = p_b = np.zeros(0, dtype=np.int64)
         p_var = np.zeros(0, dtype=np.int32)
 
-    pairs = {
-        "var": p_var.astype(np.int32),
-        "a": p_a.astype(np.int32),
-        "b": p_b.astype(np.int32),
-    }
-
-    # ---- pad to buckets; trash segment = n_var
-    r_pad = max(pad_reads or 0, _bucket(max(big.n, 1)))
     f_pad = max(pad_pairs or 0, _bucket(max(len(p_a), 1), floor=64))
-    reads = _pad(reads, READ_FIELDS_D, r_pad, {"var": n_var})
-    pairs = _pad(
-        pairs,
-        {"var": np.int32, "a": np.int32, "b": np.int32},
-        f_pad,
-        {"var": n_var, "a": r_pad - 1, "b": r_pad - 1},
-    )
+    pairs = {
+        "var": _pad_arr(p_var, np.int32, f_pad, n_var),
+        "a": _pad_arr(p_a, np.int32, f_pad, r_pad - 1),
+        "b": _pad_arr(p_b, np.int32, f_pad, r_pad - 1),
+    }
     return ChunkInputs(reads, pairs, variants, n_var)
 
 
 READ_FIELDS_D = {name: dt for name, dt in READ_FIELDS}
 
 
-def _pad(
-    d: Dict[str, np.ndarray],
-    dtypes: Dict[str, type],
-    size: int,
-    fill: Dict[str, int],
-) -> Dict[str, np.ndarray]:
-    out = {}
-    for k, arr in d.items():
-        dt = dtypes[k]
-        cur = np.asarray(arr, dtype=dt)
-        if len(cur) > size:
-            raise ValueError("pad size %d < data %d" % (size, len(cur)))
-        pad_val = fill.get(k, 0)
-        padded = np.full(size, pad_val, dtype=dt)
-        padded[: len(cur)] = cur
-        out[k] = padded
-    return out
+def _pad_arr(arr: np.ndarray, dt: type, size: int, fill: int) -> np.ndarray:
+    padded = np.full(size, fill, dtype=dt)
+    padded[: len(arr)] = arr
+    return padded

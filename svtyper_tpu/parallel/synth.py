@@ -17,8 +17,16 @@ from svtyper_tpu.evidence.extract import (
     READ_FIELDS_D,
     VAR_FIELDS,
     ChunkInputs,
-    _pad,
 )
+
+
+def _pad(d, dtypes, size, fill):
+    out = {}
+    for k, arr in d.items():
+        padded = np.full(size, fill.get(k, 0), dtype=dtypes[k])
+        padded[: len(arr)] = arr
+        out[k] = padded
+    return out
 
 
 def make_synthetic_chunk(
