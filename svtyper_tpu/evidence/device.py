@@ -20,6 +20,37 @@ SPLIT_SLOP = 7  # SPEC.md §8
 PRIOR_CONC, PRIOR_DISC = 0.95, 0.05
 
 
+def unpack_chunk(r32, r16, r8, p32, v32, v8):
+    """Packed dtype-grouped matrices → the reads/pairs/variants dicts
+    ``classify`` consumes. Row slicing + bool casts only — XLA fuses
+    these into the consumers, so the packing costs nothing on device
+    while cutting host→device transfers to six per chunk."""
+    from svtyper_tpu.evidence.extract import (
+        PAIRS_I32,
+        READS_BOOL,
+        READS_I16,
+        READS_I32,
+        READS_U8,
+        VARS_BOOL,
+        VARS_I32,
+    )
+
+    reads = {}
+    for i, name in enumerate(READS_I32):
+        reads[name] = r32[i]
+    for i, name in enumerate(READS_I16):
+        reads[name] = r16[i]
+    for i, name in enumerate(READS_U8):
+        reads[name] = (
+            r8[i].astype(bool) if name in READS_BOOL else r8[i]
+        )
+    pairs = {name: p32[i] for i, name in enumerate(PAIRS_I32)}
+    variants = {name: v32[i] for i, name in enumerate(VARS_I32)}
+    for i, name in enumerate(VARS_BOOL):
+        variants[name] = v8[i].astype(bool)
+    return reads, pairs, variants
+
+
 def prob_mapq(mapq, dtype):
     return 1.0 - jnp.power(jnp.asarray(10.0, dtype), -mapq.astype(dtype) / 10.0)
 

@@ -62,13 +62,33 @@ VAR_FIELDS = [
     ("force_null", np.bool_),
 ]
 
+# dtype-grouped packing: each group ships to the device as ONE
+# [n_fields, N] matrix. The host→TPU link (axon tunnel) is
+# latency-bound, so 6 transfers per chunk beat ~38 per-field ones.
+READS_I32 = ("var", "tid", "pos", "end", "lead", "sa_tid", "sa_pos",
+             "sa_end", "sa_lead")
+READS_I16 = ("ref_aln", "lib")
+READS_U8 = ("is_rev", "mapq", "has_lsoft", "has_rsoft", "cov_a", "cov_b",
+            "has_sa", "sa_rev", "sa_mapq")
+READS_BOOL = frozenset(
+    ("is_rev", "has_lsoft", "has_rsoft", "cov_a", "cov_b", "has_sa",
+     "sa_rev")
+)
+VARS_I32 = ("tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0",
+            "cib1", "vlen")
+VARS_BOOL = ("o1", "o2", "is_del", "is_dup", "is_inv", "force_null")
+PAIRS_I32 = ("var", "a", "b")
+
 
 class ChunkInputs:
     """Flat arrays for one (sample × variant-chunk) device invocation.
 
     ``reads``/``pairs``/``variants`` are dicts of equal-length numpy
     arrays. Padding rows carry ``var == n_var`` (a trash segment dropped
-    after the segment-sum).
+    after the segment-sum). When built by ``prepare_chunk`` the dict
+    entries are row views into the dtype-grouped ``packed`` matrices
+    (keys r_i32/r_i16/r_u8/p_i32/v_i32/v_u8) that the engine ships as
+    six device transfers.
     """
 
     def __init__(
@@ -77,11 +97,27 @@ class ChunkInputs:
         pairs: Dict[str, np.ndarray],
         variants: Dict[str, np.ndarray],
         n_var: int,
+        packed: Optional[Dict[str, np.ndarray]] = None,
     ) -> None:
         self.reads = reads
         self.pairs = pairs
         self.variants = variants
         self.n_var = n_var
+        self.packed = packed
+
+
+def pack_chunk(chunk: "ChunkInputs") -> Dict[str, np.ndarray]:
+    """Dtype-grouped matrices from a dict-form chunk (synthetic inputs);
+    ``prepare_chunk`` builds them in place without this extra copy."""
+    r, p, v = chunk.reads, chunk.pairs, chunk.variants
+    return {
+        "r_i32": np.stack([np.asarray(r[k], np.int32) for k in READS_I32]),
+        "r_i16": np.stack([np.asarray(r[k], np.int16) for k in READS_I16]),
+        "r_u8": np.stack([np.asarray(r[k], np.uint8) for k in READS_U8]),
+        "p_i32": np.stack([np.asarray(p[k], np.int32) for k in PAIRS_I32]),
+        "v_i32": np.stack([np.asarray(v[k], np.int32) for k in VARS_I32]),
+        "v_u8": np.stack([np.asarray(v[k], np.uint8) for k in VARS_BOOL]),
+    }
 
 
 def _bucket(n: int, floor: int = 256) -> int:
@@ -209,33 +245,44 @@ def prepare_chunk(
 
     r_pad = max(pad_reads or 0, _bucket(max(n_rows, 1)))
 
-    def rcol(src, dt, fill=0):
-        padded = np.full(r_pad, fill, dtype=dt)
-        padded[:n_rows] = src if sel is None else src[sel]
-        return padded
+    # ---- packed read matrices; dict entries are row views
+    m32 = np.zeros((len(READS_I32), r_pad), dtype=np.int32)
+    m32[0] = n_var  # var padding → trash segment
+    m16 = np.zeros((len(READS_I16), r_pad), dtype=np.int16)
+    mu8 = np.zeros((len(READS_U8), r_pad), dtype=np.uint8)
 
-    reads = {
-        "var": _pad_arr(var_of, np.int32, r_pad, n_var),
-        "is_rev": rcol(big.is_reverse, np.bool_),
-        "tid": rcol(big.tid, np.int32),
-        "pos": rcol(big.pos, np.int32),
-        "end": rcol(big.ref_end, np.int32),
-        "mapq": rcol(big.mapq, np.uint8),
-        "ref_aln": rcol(np.minimum(big.ref_aln_len, 0x7FFF), np.int16),
-        "has_lsoft": rcol(big.left_soft > 0, np.bool_),
-        "has_rsoft": rcol(big.right_soft > 0, np.bool_),
-        "lead": rcol(big.lead_clip_q, np.int32),
-        "cov_a": rcol(big.cov_a, np.bool_),
-        "cov_b": rcol(big.cov_b, np.bool_),
-        "has_sa": rcol(big.has_sa, np.bool_),
-        "sa_tid": rcol(big.sa_tid, np.int32),
-        "sa_pos": rcol(big.sa_pos, np.int32),
-        "sa_end": rcol(big.sa_end, np.int32),
-        "sa_rev": rcol(big.sa_is_reverse, np.bool_),
-        "sa_mapq": rcol(big.sa_mapq, np.uint8),
-        "sa_lead": rcol(big.sa_lead_clip_q, np.int32),
-        "lib": rcol(np.minimum(big.lib_id, 0x7FFF), np.int16),
-    }
+    def fill(row, src):
+        row[:n_rows] = src if sel is None else src[sel]
+
+    m32[0, :n_rows] = var_of
+    fill(m32[1], big.tid)
+    fill(m32[2], big.pos)
+    fill(m32[3], big.ref_end)
+    fill(m32[4], big.lead_clip_q)
+    fill(m32[5], big.sa_tid)
+    fill(m32[6], big.sa_pos)
+    fill(m32[7], big.sa_end)
+    fill(m32[8], big.sa_lead_clip_q)
+    fill(m16[0], np.minimum(big.ref_aln_len, 0x7FFF))
+    fill(m16[1], np.minimum(big.lib_id, 0x7FFF))
+    fill(mu8[0], big.is_reverse)
+    fill(mu8[1], big.mapq)
+    fill(mu8[2], big.left_soft > 0)
+    fill(mu8[3], big.right_soft > 0)
+    fill(mu8[4], big.cov_a)
+    fill(mu8[5], big.cov_b)
+    fill(mu8[6], big.has_sa)
+    fill(mu8[7], big.sa_is_reverse)
+    fill(mu8[8], big.sa_mapq)
+    reads: Dict[str, np.ndarray] = {}
+    for i, name in enumerate(READS_I32):
+        reads[name] = m32[i]
+    for i, name in enumerate(READS_I16):
+        reads[name] = m16[i]
+    for i, name in enumerate(READS_U8):
+        reads[name] = (
+            mu8[i].view(np.bool_) if name in READS_BOOL else mu8[i]
+        )
 
     # ---- fragment pair table (host: integer sort + boundaries) over the
     # SELECTED rows; p_a/p_b index the padded read table
@@ -271,18 +318,30 @@ def prepare_chunk(
         p_var = np.zeros(0, dtype=np.int32)
 
     f_pad = max(pad_pairs or 0, _bucket(max(len(p_a), 1), floor=64))
-    pairs = {
-        "var": _pad_arr(p_var, np.int32, f_pad, n_var),
-        "a": _pad_arr(p_a, np.int32, f_pad, r_pad - 1),
-        "b": _pad_arr(p_b, np.int32, f_pad, r_pad - 1),
+    p32 = np.empty((3, f_pad), dtype=np.int32)
+    p32[0] = n_var
+    p32[1] = r_pad - 1
+    p32[2] = r_pad - 1
+    p32[0, : len(p_var)] = p_var
+    p32[1, : len(p_a)] = p_a
+    p32[2, : len(p_b)] = p_b
+    pairs = {name: p32[i] for i, name in enumerate(PAIRS_I32)}
+
+    # ---- packed variant matrices (rebind dict entries to views)
+    v32 = np.empty((len(VARS_I32), n_var), dtype=np.int32)
+    vu8 = np.empty((len(VARS_BOOL), n_var), dtype=np.uint8)
+    for i, name in enumerate(VARS_I32):
+        v32[i] = variants[name]
+        variants[name] = v32[i]
+    for i, name in enumerate(VARS_BOOL):
+        vu8[i] = variants[name]
+        variants[name] = vu8[i].view(np.bool_)
+
+    packed = {
+        "r_i32": m32, "r_i16": m16, "r_u8": mu8,
+        "p_i32": p32, "v_i32": v32, "v_u8": vu8,
     }
-    return ChunkInputs(reads, pairs, variants, n_var)
+    return ChunkInputs(reads, pairs, variants, n_var, packed)
 
 
 READ_FIELDS_D = {name: dt for name, dt in READ_FIELDS}
-
-
-def _pad_arr(arr: np.ndarray, dt: type, size: int, fill: int) -> np.ndarray:
-    padded = np.full(size, fill, dtype=dt)
-    padded[: len(arr)] = arr
-    return padded

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from svtyper_tpu.breakpoints import Breakpoint
-from svtyper_tpu.evidence.device import classify
-from svtyper_tpu.evidence.extract import prepare_chunk
+from svtyper_tpu.evidence.device import classify, unpack_chunk
+from svtyper_tpu.evidence.extract import pack_chunk, prepare_chunk
 from svtyper_tpu.models.bayes import GT_STRINGS, GenotypeResult
 from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
 from svtyper_tpu.stats.library import Sample
@@ -92,7 +92,8 @@ class TpuEngine:
         use_pallas = self._use_pallas()
 
         @functools.partial(jax.jit, static_argnames=("n_var",))
-        def step(reads, pairs, variants, dens, lcf, n_var):
+        def step(r32, r16, r8, p32, v32, v8, dens, lcf, n_var):
+            reads, pairs, variants = unpack_chunk(r32, r16, r8, p32, v32, v8)
             counts = classify(
                 reads, pairs, variants, dens, n_var, min_aligned, dtype=dtype
             )
@@ -187,11 +188,15 @@ class TpuEngine:
             )
             self._hw_reads = max(self._hw_reads, len(chunk.reads["var"]))
             self._hw_pairs = max(self._hw_pairs, len(chunk.pairs["var"]))
+            packed = chunk.packed or pack_chunk(chunk)
             arrs.append(
                 self._step(
-                    {k: jnp.asarray(v) for k, v in chunk.reads.items()},
-                    {k: jnp.asarray(v) for k, v in chunk.pairs.items()},
-                    {k: jnp.asarray(v) for k, v in chunk.variants.items()},
+                    jnp.asarray(packed["r_i32"]),
+                    jnp.asarray(packed["r_i16"]),
+                    jnp.asarray(packed["r_u8"]),
+                    jnp.asarray(packed["p_i32"]),
+                    jnp.asarray(packed["v_i32"]),
+                    jnp.asarray(packed["v_u8"]),
                     self._dens_for(si),
                     self._lcf,
                     n_var=chunk.n_var,
