@@ -20,15 +20,17 @@ SPLIT_SLOP = 7  # SPEC.md §8
 PRIOR_CONC, PRIOR_DISC = 0.95, 0.05
 
 
-def unpack_chunk(r32, r16, r8, p32, v32, v8):
+def unpack_chunk(r32, r8, p32, p16, p8, v32, v8):
     """Packed dtype-grouped matrices → the reads/pairs/variants dicts
     ``classify`` consumes. Row slicing + bool casts only — XLA fuses
     these into the consumers, so the packing costs nothing on device
-    while cutting host→device transfers to six per chunk."""
+    while cutting host→device transfers to seven per chunk."""
     from svtyper_tpu.evidence.extract import (
+        PAIRS_BOOL,
+        PAIRS_I16,
         PAIRS_I32,
+        PAIRS_U8,
         READS_BOOL,
-        READS_I16,
         READS_I32,
         READS_U8,
         VARS_BOOL,
@@ -38,13 +40,17 @@ def unpack_chunk(r32, r16, r8, p32, v32, v8):
     reads = {}
     for i, name in enumerate(READS_I32):
         reads[name] = r32[i]
-    for i, name in enumerate(READS_I16):
-        reads[name] = r16[i]
     for i, name in enumerate(READS_U8):
         reads[name] = (
             r8[i].astype(bool) if name in READS_BOOL else r8[i]
         )
     pairs = {name: p32[i] for i, name in enumerate(PAIRS_I32)}
+    for i, name in enumerate(PAIRS_I16):
+        pairs[name] = p16[i]
+    for i, name in enumerate(PAIRS_U8):
+        pairs[name] = (
+            p8[i].astype(bool) if name in PAIRS_BOOL else p8[i]
+        )
     variants = {name: v32[i] for i, name in enumerate(VARS_I32)}
     for i, name in enumerate(VARS_BOOL):
         variants[name] = v8[i].astype(bool)
@@ -161,22 +167,20 @@ def classify(
     counts_read = jnp.stack([ref_seq_c, alt_seq_c, alt_clip_c], axis=1)
     per_var_read = jax.ops.segment_sum(counts_read, rv, num_segments=nseg)
 
-    # ---- §4.3 read pairs
-    ia, ib = pairs["a"], pairs["b"]
+    # ---- §4.3 read pairs (self-contained rows: both mates' fields
+    # were materialized on host — no gathers into the reads table)
     pv = pairs["var"]
     pvf = {name: vgather(name)[pv] for name in (
         "tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0", "cib1",
         "o1", "o2", "is_del", "is_inv", "vlen",
     )}
 
-    def g(col):
-        return reads[col]
-
-    A = dict(pos=g("pos")[ia], end=g("end")[ia], rev=g("is_rev")[ia],
-             aln=g("ref_aln")[ia], tid=g("tid")[ia], pm=pm[ia],
-             lib=g("lib")[ia])
-    B = dict(pos=g("pos")[ib], end=g("end")[ib], rev=g("is_rev")[ib],
-             aln=g("ref_aln")[ib], tid=g("tid")[ib], pm=pm[ib])
+    A = dict(pos=pairs["a_pos"], end=pairs["a_end"], rev=pairs["a_rev"],
+             aln=pairs["a_aln"], tid=pairs["a_tid"],
+             pm=prob_mapq(pairs["a_mapq"], dtype), lib=pairs["a_lib"])
+    B = dict(pos=pairs["b_pos"], end=pairs["b_end"], rev=pairs["b_rev"],
+             aln=pairs["b_aln"], tid=pairs["b_tid"],
+             pm=prob_mapq(pairs["b_mapq"], dtype))
     p_pair = A["pm"] * B["pm"]
     F, T = jnp.zeros_like(pvf["o1"]), jnp.ones_like(pvf["o1"])
 

@@ -18,8 +18,8 @@ from svtyper_tpu.breakpoints import Breakpoint, fetch_windows
 from svtyper_tpu.oracle.engine import Z_FLANK
 from svtyper_tpu.stats.library import Sample
 
-# device-tensor dtypes are minimized to cut the host→TPU transfer
-# (latency-bound tunnel): mapq fits u8, read-length-bounded fields i16
+# device-tensor dtypes are minimized to cut the host→TPU transfer:
+# mapq fits u8; pair aln/lib are i16 (aln only feeds >= min_aligned)
 READ_FIELDS = [
     ("var", np.int32),
     ("is_rev", np.bool_),
@@ -27,8 +27,6 @@ READ_FIELDS = [
     ("pos", np.int32),
     ("end", np.int32),
     ("mapq", np.uint8),
-    # only the >= min_aligned predicate reads this → clipped to i16 range
-    ("ref_aln", np.int16),
     ("has_lsoft", np.bool_),
     ("has_rsoft", np.bool_),
     ("lead", np.int32),
@@ -41,7 +39,22 @@ READ_FIELDS = [
     ("sa_rev", np.bool_),
     ("sa_mapq", np.uint8),
     ("sa_lead", np.int32),
-    ("lib", np.int16),
+]
+PAIR_FIELDS = [
+    ("var", np.int32),
+    ("a_pos", np.int32),
+    ("a_end", np.int32),
+    ("b_pos", np.int32),
+    ("b_end", np.int32),
+    ("a_tid", np.int32),
+    ("b_tid", np.int32),
+    ("a_aln", np.int16),
+    ("b_aln", np.int16),
+    ("a_lib", np.int16),
+    ("a_rev", np.bool_),
+    ("b_rev", np.bool_),
+    ("a_mapq", np.uint8),
+    ("b_mapq", np.uint8),
 ]
 
 VAR_FIELDS = [
@@ -63,11 +76,16 @@ VAR_FIELDS = [
 ]
 
 # dtype-grouped packing: each group ships to the device as ONE
-# [n_fields, N] matrix. The host→TPU link (axon tunnel) is
-# latency-bound, so 6 transfers per chunk beat ~38 per-field ones.
+# [n_fields, N] matrix (the host→TPU tunnel rewards few, dense
+# transfers). Two tables:
+#   * reads — ONLY evidence-candidate rows (coverage hit, SA split, or
+#     soft clip; typically ~20% of fetched reads), for the per-read
+#     predicates of SPEC.md §4.1–4.2.
+#   * pairs — self-contained two-sided rows for §4.3 (both mates'
+#     fields materialized on host), so the device does no gathers into
+#     the reads table and non-candidate reads never leave the host.
 READS_I32 = ("var", "tid", "pos", "end", "lead", "sa_tid", "sa_pos",
              "sa_end", "sa_lead")
-READS_I16 = ("ref_aln", "lib")
 READS_U8 = ("is_rev", "mapq", "has_lsoft", "has_rsoft", "cov_a", "cov_b",
             "has_sa", "sa_rev", "sa_mapq")
 READS_BOOL = frozenset(
@@ -77,7 +95,10 @@ READS_BOOL = frozenset(
 VARS_I32 = ("tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0",
             "cib1", "vlen")
 VARS_BOOL = ("o1", "o2", "is_del", "is_dup", "is_inv", "force_null")
-PAIRS_I32 = ("var", "a", "b")
+PAIRS_I32 = ("var", "a_pos", "a_end", "b_pos", "b_end", "a_tid", "b_tid")
+PAIRS_I16 = ("a_aln", "b_aln", "a_lib")
+PAIRS_U8 = ("a_rev", "b_rev", "a_mapq", "b_mapq")
+PAIRS_BOOL = frozenset(("a_rev", "b_rev"))
 
 
 class ChunkInputs:
@@ -112,17 +133,22 @@ def pack_chunk(chunk: "ChunkInputs") -> Dict[str, np.ndarray]:
     r, p, v = chunk.reads, chunk.pairs, chunk.variants
     return {
         "r_i32": np.stack([np.asarray(r[k], np.int32) for k in READS_I32]),
-        "r_i16": np.stack([np.asarray(r[k], np.int16) for k in READS_I16]),
         "r_u8": np.stack([np.asarray(r[k], np.uint8) for k in READS_U8]),
         "p_i32": np.stack([np.asarray(p[k], np.int32) for k in PAIRS_I32]),
+        "p_i16": np.stack([np.asarray(p[k], np.int16) for k in PAIRS_I16]),
+        "p_u8": np.stack([np.asarray(p[k], np.uint8) for k in PAIRS_U8]),
         "v_i32": np.stack([np.asarray(v[k], np.int32) for k in VARS_I32]),
         "v_u8": np.stack([np.asarray(v[k], np.uint8) for k in VARS_BOOL]),
     }
 
 
 def _bucket(n: int, floor: int = 256) -> int:
+    """Smallest 2^k or 1.5·2^k ≥ n: at most 25% padding waste (vs 50%
+    for pure powers of two) at twice the compile-cache entries."""
     b = floor
     while b < n:
+        if b + b // 2 >= n:
+            return b + b // 2
         b *= 2
     return b
 
@@ -241,53 +267,56 @@ def prepare_chunk(
                     if sel is None
                     else sel[keep2]
                 )
-    n_rows = len(var_of)
+    # ---- selected-row columns (dedup/cap selection applied once each)
+    def s(col):
+        return col if sel is None else col[sel]
 
-    r_pad = max(pad_reads or 0, _bucket(max(n_rows, 1)))
+    tid_s, pos_s, end_s = s(big.tid), s(big.pos), s(big.ref_end)
+    rev_s, mapq_s = s(big.is_reverse), s(big.mapq)
+    lsoft_s = s(big.left_soft) > 0
+    rsoft_s = s(big.right_soft) > 0
+    cov_a_s, cov_b_s, has_sa_s = s(big.cov_a), s(big.cov_b), s(big.has_sa)
 
-    # ---- packed read matrices; dict entries are row views
+    # ---- reads table: evidence-candidate rows only (§4.1–4.2); other
+    # reads can contribute pair evidence only and never leave the host
+    ev = cov_a_s | cov_b_s | has_sa_s | lsoft_s | rsoft_s
+    iev = np.flatnonzero(ev)
+    n_ev = len(iev)
+    r_pad = max(pad_reads or 0, _bucket(max(n_ev, 1)))
     m32 = np.zeros((len(READS_I32), r_pad), dtype=np.int32)
     m32[0] = n_var  # var padding → trash segment
-    m16 = np.zeros((len(READS_I16), r_pad), dtype=np.int16)
     mu8 = np.zeros((len(READS_U8), r_pad), dtype=np.uint8)
-
-    def fill(row, src):
-        row[:n_rows] = src if sel is None else src[sel]
-
-    m32[0, :n_rows] = var_of
-    fill(m32[1], big.tid)
-    fill(m32[2], big.pos)
-    fill(m32[3], big.ref_end)
-    fill(m32[4], big.lead_clip_q)
-    fill(m32[5], big.sa_tid)
-    fill(m32[6], big.sa_pos)
-    fill(m32[7], big.sa_end)
-    fill(m32[8], big.sa_lead_clip_q)
-    fill(m16[0], np.minimum(big.ref_aln_len, 0x7FFF))
-    fill(m16[1], np.minimum(big.lib_id, 0x7FFF))
-    fill(mu8[0], big.is_reverse)
-    fill(mu8[1], big.mapq)
-    fill(mu8[2], big.left_soft > 0)
-    fill(mu8[3], big.right_soft > 0)
-    fill(mu8[4], big.cov_a)
-    fill(mu8[5], big.cov_b)
-    fill(mu8[6], big.has_sa)
-    fill(mu8[7], big.sa_is_reverse)
-    fill(mu8[8], big.sa_mapq)
+    m32[0, :n_ev] = var_of[iev]
+    m32[1, :n_ev] = tid_s[iev]
+    m32[2, :n_ev] = pos_s[iev]
+    m32[3, :n_ev] = end_s[iev]
+    m32[4, :n_ev] = s(big.lead_clip_q)[iev]
+    m32[5, :n_ev] = s(big.sa_tid)[iev]
+    m32[6, :n_ev] = s(big.sa_pos)[iev]
+    m32[7, :n_ev] = s(big.sa_end)[iev]
+    m32[8, :n_ev] = s(big.sa_lead_clip_q)[iev]
+    mu8[0, :n_ev] = rev_s[iev]
+    mu8[1, :n_ev] = mapq_s[iev]
+    mu8[2, :n_ev] = lsoft_s[iev]
+    mu8[3, :n_ev] = rsoft_s[iev]
+    mu8[4, :n_ev] = cov_a_s[iev]
+    mu8[5, :n_ev] = cov_b_s[iev]
+    mu8[6, :n_ev] = has_sa_s[iev]
+    mu8[7, :n_ev] = s(big.sa_is_reverse)[iev]
+    mu8[8, :n_ev] = s(big.sa_mapq)[iev]
     reads: Dict[str, np.ndarray] = {}
     for i, name in enumerate(READS_I32):
         reads[name] = m32[i]
-    for i, name in enumerate(READS_I16):
-        reads[name] = m16[i]
     for i, name in enumerate(READS_U8):
         reads[name] = (
             mu8[i].view(np.bool_) if name in READS_BOOL else mu8[i]
         )
 
     # ---- fragment pair table (host: integer sort + boundaries) over the
-    # SELECTED rows; p_a/p_b index the padded read table
-    flag = big.flag if sel is None else big.flag[sel]
-    qh = big.qname_hash if sel is None else big.qname_hash[sel]
+    # SELECTED rows; both mates' fields materialized (§4.3 runs without
+    # device gathers)
+    flag = s(big.flag)
+    qh = s(big.qname_hash)
     eligible = ((flag & FPAIRED) != 0) & ((flag & FMUNMAP) == 0)
     el = np.flatnonzero(eligible)
     if len(el):
@@ -295,8 +324,8 @@ def prepare_chunk(
             np.lexsort(
                 (
                     np.arange(len(el)),  # stable within equal keys
-                    reads["pos"][el],
-                    reads["tid"][el],
+                    pos_s[el],
+                    tid_s[el],
                     qh[el],
                     var_of[el],
                 )
@@ -317,15 +346,39 @@ def prepare_chunk(
         p_a = p_b = np.zeros(0, dtype=np.int64)
         p_var = np.zeros(0, dtype=np.int32)
 
-    f_pad = max(pad_pairs or 0, _bucket(max(len(p_a), 1), floor=64))
-    p32 = np.empty((3, f_pad), dtype=np.int32)
+    n_pair = len(p_a)
+    f_pad = max(pad_pairs or 0, _bucket(max(n_pair, 1), floor=64))
+    p32 = np.zeros((len(PAIRS_I32), f_pad), dtype=np.int32)
     p32[0] = n_var
-    p32[1] = r_pad - 1
-    p32[2] = r_pad - 1
-    p32[0, : len(p_var)] = p_var
-    p32[1, : len(p_a)] = p_a
-    p32[2, : len(p_b)] = p_b
-    pairs = {name: p32[i] for i, name in enumerate(PAIRS_I32)}
+    p32[5] = -1  # padding tids match no variant
+    p32[6] = -1
+    p32[0, :n_pair] = p_var
+    p32[1, :n_pair] = pos_s[p_a]
+    p32[2, :n_pair] = end_s[p_a]
+    p32[3, :n_pair] = pos_s[p_b]
+    p32[4, :n_pair] = end_s[p_b]
+    p32[5, :n_pair] = tid_s[p_a]
+    p32[6, :n_pair] = tid_s[p_b]
+    p16 = np.zeros((len(PAIRS_I16), f_pad), dtype=np.int16)
+    aln_s = np.minimum(s(big.ref_aln_len), 0x7FFF)
+    lib_s = np.minimum(s(big.lib_id), 0x7FFF)
+    p16[0, :n_pair] = aln_s[p_a]
+    p16[1, :n_pair] = aln_s[p_b]
+    p16[2, :n_pair] = lib_s[p_a]
+    pu8 = np.zeros((len(PAIRS_U8), f_pad), dtype=np.uint8)
+    pu8[0, :n_pair] = rev_s[p_a]
+    pu8[1, :n_pair] = rev_s[p_b]
+    pu8[2, :n_pair] = mapq_s[p_a]
+    pu8[3, :n_pair] = mapq_s[p_b]
+    pairs: Dict[str, np.ndarray] = {}
+    for i, name in enumerate(PAIRS_I32):
+        pairs[name] = p32[i]
+    for i, name in enumerate(PAIRS_I16):
+        pairs[name] = p16[i]
+    for i, name in enumerate(PAIRS_U8):
+        pairs[name] = (
+            pu8[i].view(np.bool_) if name in PAIRS_BOOL else pu8[i]
+        )
 
     # ---- packed variant matrices (rebind dict entries to views)
     v32 = np.empty((len(VARS_I32), n_var), dtype=np.int32)
@@ -338,8 +391,9 @@ def prepare_chunk(
         variants[name] = vu8[i].view(np.bool_)
 
     packed = {
-        "r_i32": m32, "r_i16": m16, "r_u8": mu8,
-        "p_i32": p32, "v_i32": v32, "v_u8": vu8,
+        "r_i32": m32, "r_u8": mu8,
+        "p_i32": p32, "p_i16": p16, "p_u8": pu8,
+        "v_i32": v32, "v_u8": vu8,
     }
     return ChunkInputs(reads, pairs, variants, n_var, packed)
 

@@ -92,8 +92,10 @@ class TpuEngine:
         use_pallas = self._use_pallas()
 
         @functools.partial(jax.jit, static_argnames=("n_var",))
-        def step(r32, r16, r8, p32, v32, v8, dens, lcf, n_var):
-            reads, pairs, variants = unpack_chunk(r32, r16, r8, p32, v32, v8)
+        def step(r32, r8, p32, p16, p8, v32, v8, dens, lcf, n_var):
+            reads, pairs, variants = unpack_chunk(
+                r32, r8, p32, p16, p8, v32, v8
+            )
             counts = classify(
                 reads, pairs, variants, dens, n_var, min_aligned, dtype=dtype
             )
@@ -192,9 +194,10 @@ class TpuEngine:
             arrs.append(
                 self._step(
                     jnp.asarray(packed["r_i32"]),
-                    jnp.asarray(packed["r_i16"]),
                     jnp.asarray(packed["r_u8"]),
                     jnp.asarray(packed["p_i32"]),
+                    jnp.asarray(packed["p_i16"]),
+                    jnp.asarray(packed["p_u8"]),
                     jnp.asarray(packed["v_i32"]),
                     jnp.asarray(packed["v_u8"]),
                     self._dens_for(si),

@@ -14,10 +14,13 @@ from typing import Tuple
 import numpy as np
 
 from svtyper_tpu.evidence.extract import (
+    PAIR_FIELDS,
     READ_FIELDS_D,
     VAR_FIELDS,
     ChunkInputs,
 )
+
+PAIR_FIELDS_D = {name: dt for name, dt in PAIR_FIELDS}
 
 
 def _pad(d, dtypes, size, fill):
@@ -62,7 +65,6 @@ def make_synthetic_chunk(
             reads["pos"][row] = pos
             reads["end"][row] = pos + read_len
             reads["mapq"][row] = 60
-            reads["ref_aln"][row] = read_len
             reads["has_lsoft"][row] = lsoft
             reads["has_rsoft"][row] = rsoft
             reads["cov_a"][row] = cov_a
@@ -87,18 +89,27 @@ def make_synthetic_chunk(
         add_read(pos_a - read_len + 1, False, sa=pos_b)
         add_read(pos_a - read_len + 1, False, rsoft=True)
 
+    # materialize both mates' fields (extract.prepare_chunk contract)
+    ai = np.asarray(p_a, dtype=np.int64)
+    bi = np.asarray(p_b, dtype=np.int64)
     pairs = {
         "var": np.asarray(p_var, dtype=np.int32),
-        "a": np.asarray(p_a, dtype=np.int32),
-        "b": np.asarray(p_b, dtype=np.int32),
+        "a_pos": reads["pos"][ai], "a_end": reads["end"][ai],
+        "b_pos": reads["pos"][bi], "b_end": reads["end"][bi],
+        "a_tid": reads["tid"][ai], "b_tid": reads["tid"][bi],
+        "a_aln": np.full(len(ai), read_len, np.int16),
+        "b_aln": np.full(len(bi), read_len, np.int16),
+        "a_lib": np.zeros(len(ai), np.int16),
+        "a_rev": reads["is_rev"][ai], "b_rev": reads["is_rev"][bi],
+        "a_mapq": reads["mapq"][ai], "b_mapq": reads["mapq"][bi],
     }
     r_pad, f_pad = _next_pow2(R), _next_pow2(len(p_var), 64)
     reads = _pad(reads, READ_FIELDS_D, r_pad, {"var": n_var})
     pairs = _pad(
         pairs,
-        {"var": np.int32, "a": np.int32, "b": np.int32},
+        PAIR_FIELDS_D,
         f_pad,
-        {"var": n_var, "a": r_pad - 1, "b": r_pad - 1},
+        {"var": n_var, "a_tid": -1, "b_tid": -1},
     )
     dens = np.zeros((1, 1024), dtype=np.float64)
     dens[0, insert - 25 : insert + 25] = 1.0 / 50

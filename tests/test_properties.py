@@ -10,20 +10,14 @@ from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
 from svtyper_tpu.parallel.synth import make_synthetic_chunk
 
 
-def _run_classify(chunk, dens, perm=None):
+def _run_classify(chunk, dens, perm=None, pair_perm=None):
     reads = {k: np.array(v) for k, v in chunk.reads.items()}
+    pairs = {k: np.array(v) for k, v in chunk.pairs.items()}
     if perm is not None:
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
         reads = {k: v[perm] for k, v in reads.items()}
-        pairs = dict(chunk.pairs)
-        pairs = {
-            "var": chunk.pairs["var"],
-            "a": inv[chunk.pairs["a"]].astype(np.int32),
-            "b": inv[chunk.pairs["b"]].astype(np.int32),
-        }
-    else:
-        pairs = chunk.pairs
+    if pair_perm is not None:
+        # pairs are self-contained rows — permutable independently
+        pairs = {k: v[pair_perm] for k, v in pairs.items()}
     return np.asarray(
         classify(
             {k: jnp.asarray(v) for k, v in reads.items()},
@@ -42,9 +36,11 @@ def test_counts_invariant_under_read_order():
     base = _run_classify(chunk, dens)
     rng = np.random.default_rng(0)
     n = len(chunk.reads["var"])
+    n_pair = len(chunk.pairs["var"])
     for seed in range(3):
         perm = rng.permutation(n)
-        shuffled = _run_classify(chunk, dens, perm)
+        pair_perm = rng.permutation(n_pair)
+        shuffled = _run_classify(chunk, dens, perm, pair_perm)
         np.testing.assert_allclose(shuffled, base, rtol=0, atol=1e-9)
 
 
