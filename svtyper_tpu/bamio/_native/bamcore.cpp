@@ -191,6 +191,18 @@ struct VStream {
     }
     return true;
   }
+
+  // advance n bytes without copying (skipped record payloads)
+  bool skip(size_t n) {
+    while (n) {
+      if (!ensure()) return false;
+      size_t avail = ub.size() - uoffset;
+      size_t take = avail < n ? avail : n;
+      uoffset += take;
+      n -= take;
+    }
+    return true;
+  }
 };
 
 // ------------------------------------------------------------- decode
@@ -570,7 +582,7 @@ long svt_fetch_many(void* vh,
   long n = 0;
   int64_t blk_n = 0;
   out->blk_off[0] = 0;
-  std::vector<uint8_t> rec;
+  std::vector<uint8_t> rec, aux;
   std::vector<int32_t> bstart, bend;
   const bool do_cov = cov_pos_a != nullptr;
   VStream vs{h, 0, 0};  // one stream: scratch block survives across ranges
@@ -606,30 +618,47 @@ long svt_fetch_many(void* vh,
         int32_t block_size;
         memcpy(&block_size, szb, 4);
         if (block_size < 32) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad record size"; } return -1; }
-        rec.resize((size_t)block_size);
-        if (!vs.read(rec.data(), (size_t)block_size)) {
+        // fixed header only; payload is consumed lazily so skipped
+        // records (flag filter, outside-window) cost no memcpy of
+        // qname/cigar/seq/qual — the bulk of every record
+        uint8_t hdr[32];
+        if (!vs.read(hdr, 32)) {
           { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
           return -1;
         }
+        size_t rest = (size_t)block_size - 32;
         int32_t tid, pos, l_seq, mtid, mpos, tlen;
-        memcpy(&tid, rec.data(), 4);
-        memcpy(&pos, rec.data() + 4, 4);
-        uint8_t l_rn = rec[8], mapq = rec[9];
+        memcpy(&tid, hdr, 4);
+        memcpy(&pos, hdr + 4, 4);
+        uint8_t l_rn = hdr[8], mapq = hdr[9];
         uint16_t n_cig, flag;
-        memcpy(&n_cig, rec.data() + 12, 2);
-        memcpy(&flag, rec.data() + 14, 2);
-        memcpy(&l_seq, rec.data() + 16, 4);
-        memcpy(&mtid, rec.data() + 20, 4);
-        memcpy(&mpos, rec.data() + 24, 4);
-        memcpy(&tlen, rec.data() + 28, 4);
+        memcpy(&n_cig, hdr + 12, 2);
+        memcpy(&flag, hdr + 14, 2);
+        memcpy(&l_seq, hdr + 16, 4);
+        memcpy(&mtid, hdr + 20, 4);
+        memcpy(&mpos, hdr + 24, 4);
+        memcpy(&tlen, hdr + 28, 4);
         if (tid != rtid || pos >= rhi) break;  // coordinate-sorted
-        if (flag & 0x4) continue;              // fetch drops unmapped
-        if (flag & drop_flags) continue;       // in-core flag filter
+        if ((flag & 0x4) || (flag & drop_flags)) {  // unmapped / filtered
+          if (!vs.skip(rest)) break;
+          continue;
+        }
+        size_t head_len = (size_t)l_rn + 4ull * n_cig;
+        size_t sq_len = ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+        if (head_len + sq_len > rest) {
+          { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad record layout"; }
+          return -1;
+        }
+        rec.resize(head_len);
+        if (!vs.read(rec.data(), head_len)) {
+          { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
+          return -1;
+        }
+        rest -= head_len;
 
-        size_t off = 32;
-        const uint8_t* qname = rec.data() + off;
+        const uint8_t* qname = rec.data();
         size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
-        off += l_rn;
+        size_t off = l_rn;
 
         int32_t cur = pos, ref_aln = 0, qlen = 0;
         int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
@@ -689,17 +718,25 @@ long svt_fetch_many(void* vh,
           bend.push_back(cur);
         }
         int32_t ref_end = cur;
-        off += 4ull * n_cig;
-        if (ref_end <= rlo) continue;
-        off += ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+        if (ref_end <= rlo) {
+          if (!vs.skip(rest)) break;
+          continue;
+        }
+        if (!vs.skip(sq_len)) break;  // seq + qual never copied
+        rest -= sq_len;
+        aux.resize(rest);
+        if (rest && !vs.read(aux.data(), rest)) {
+          { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
+          return -1;
+        }
 
         int32_t lib = -1;
         SaInfo sa;
         {
-          size_t p = off, end_ = rec.size();
+          size_t p = 0, end_ = aux.size();
           bool got_rg = false, got_sa = false;
           while (p + 3 <= end_ && !(got_rg && got_sa)) {
-            uint8_t t0 = rec[p], t1 = rec[p + 1], typ = rec[p + 2];
+            uint8_t t0 = aux[p], t1 = aux[p + 1], typ = aux[p + 2];
             p += 3;
             switch (typ) {
               case 'A': case 'c': case 'C': p += 1; break;
@@ -707,17 +744,17 @@ long svt_fetch_many(void* vh,
               case 'i': case 'I': case 'f': p += 4; break;
               case 'Z': case 'H': {
                 size_t z = p;
-                while (z < end_ && rec[z]) z++;
+                while (z < end_ && aux[z]) z++;
                 if (t0 == 'R' && t1 == 'G' && typ == 'Z') {
                   got_rg = true;
-                  std::string val((const char*)rec.data() + p, z - p);
+                  std::string val((const char*)aux.data() + p, z - p);
                   for (int32_t g = 0; g < h->n_rg_cached; g++) {
                     if (val == h->rg_cache[g]) { lib = g; break; }
                   }
                 } else if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
                   got_sa = true;
-                  const uint8_t* s = rec.data() + p;
-                  const uint8_t* send = rec.data() + z;
+                  const uint8_t* s = aux.data() + p;
+                  const uint8_t* send = aux.data() + z;
                   const uint8_t* semi = s;
                   while (semi < send && *semi != ';') semi++;
                   parse_sa_cached(h, s, semi, &sa);
@@ -727,9 +764,9 @@ long svt_fetch_many(void* vh,
               }
               case 'B': {
                 if (p + 5 > end_) { p = end_; break; }
-                uint8_t sub = rec[p];
+                uint8_t sub = aux[p];
                 uint32_t cnt;
-                memcpy(&cnt, rec.data() + p + 1, 4);
+                memcpy(&cnt, aux.data() + p + 1, 4);
                 size_t esz = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
                              : (sub == 's' || sub == 'S')             ? 2
                                                                       : 4;
