@@ -10,10 +10,13 @@ semantics (SPEC.md §7).
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
 
 PSEUDO_BIN = 37450
 _LIN_SHIFT = 14
+_LEVELS = ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681))
 
 
 def reg2bin(beg: int, end: int) -> int:
@@ -51,10 +54,130 @@ class RefIndex:
         self.unmapped = 0
 
 
+class _RefNp:
+    """Numpy form of one reference's bins for vectorized queries:
+    sorted bin ids, flat chunk arrays indexed by per-bin offsets, and
+    the dense linear index."""
+
+    __slots__ = ("keys", "chunk_off", "cb", "ce", "ioff")
+
+    def __init__(self, ri: RefIndex) -> None:
+        items = sorted(ri.bins.items())
+        self.keys = np.asarray([b for b, _ in items], dtype=np.int64)
+        counts = [len(cs) for _, cs in items]
+        self.chunk_off = np.zeros(len(items) + 1, dtype=np.int64)
+        np.cumsum(counts, out=self.chunk_off[1:])
+        flat = [c for _, cs in items for c in cs]
+        self.cb = np.asarray([c[0] for c in flat], dtype=np.uint64)
+        self.ce = np.asarray([c[1] for c in flat], dtype=np.uint64)
+        self.ioff = np.asarray(ri.ioffsets or [0], dtype=np.uint64)
+
+
+def _expand_ranges(lo: np.ndarray, count: np.ndarray):
+    """(flat values, source-row index) for ``concat(arange(lo_i,
+    lo_i+count_i))`` — the standard repeat/arange ragged expansion."""
+    total = int(count.sum())
+    row = np.repeat(np.arange(len(lo)), count)
+    cum0 = np.concatenate(([0], np.cumsum(count)[:-1]))
+    vals = np.arange(total, dtype=np.int64) - cum0[row] + lo[row]
+    return vals, row
+
+
 class BaiIndex:
     def __init__(self, refs: List[RefIndex], n_no_coor: int = 0) -> None:
         self.refs = refs
         self.n_no_coor = n_no_coor
+        self._np: List[Optional[_RefNp]] = [None] * len(refs)
+
+    def _np_ref(self, tid: int) -> _RefNp:
+        r = self._np[tid]
+        if r is None:
+            r = self._np[tid] = _RefNp(self.refs[tid])
+        return r
+
+    def query_many(
+        self, tids: np.ndarray, begs: np.ndarray, ends: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Vectorized :meth:`query` over many regions.
+
+        Returns ``(row_off, cb, ce)``: region *i*'s merged chunks are
+        ``cb/ce[row_off[i]:row_off[i+1]]`` — identical to per-region
+        ``query`` output. Regions with invalid tids get zero chunks.
+        """
+        nq = len(tids)
+        tids = np.asarray(tids, dtype=np.int64)
+        begs = np.asarray(begs, dtype=np.int64)
+        ends = np.asarray(ends, dtype=np.int64)
+        out_cb: List[np.ndarray] = []
+        out_ce: List[np.ndarray] = []
+        out_rid: List[np.ndarray] = []
+        for tid in np.unique(tids):
+            if tid < 0 or tid >= len(self.refs):
+                continue
+            rn = self._np_ref(int(tid))
+            if not len(rn.keys):
+                continue
+            qi = np.flatnonzero(tids == tid)
+            b, e = begs[qi], ends[qi] - 1
+            # candidate bins: bin 0 + one contiguous id range per level
+            cand_parts = [np.zeros(len(qi), dtype=np.int64)]
+            rid_parts = [np.arange(len(qi))]
+            for shift, off in _LEVELS:
+                lo = off + (b >> shift)
+                cnt = (e >> shift) - (b >> shift) + 1
+                vals, row = _expand_ranges(lo, cnt)
+                cand_parts.append(vals)
+                rid_parts.append(row)
+            cand = np.concatenate(cand_parts)
+            rid = np.concatenate(rid_parts)
+            # bin lookup → chunk spans → flat chunk rows
+            pos = np.searchsorted(rn.keys, cand)
+            ok = (pos < len(rn.keys)) & (rn.keys[np.minimum(pos, len(rn.keys) - 1)] == cand)
+            pos, rid = pos[ok], rid[ok]
+            ci, crow = _expand_ranges(
+                rn.chunk_off[pos], rn.chunk_off[pos + 1] - rn.chunk_off[pos]
+            )
+            rid = rid[crow]
+            cb, ce = rn.cb[ci], rn.ce[ci]
+            # linear-index lower bound per region
+            w = np.minimum(b >> _LIN_SHIFT, len(rn.ioff) - 1)
+            mo = rn.ioff[w][rid]
+            keep = ce > mo
+            cb, ce, rid, mo = cb[keep], ce[keep], rid[keep], mo[keep]
+            cb = np.maximum(cb, mo)
+            out_cb.append(cb)
+            out_ce.append(ce)
+            out_rid.append(qi[rid])
+        row_off = np.zeros(nq + 1, dtype=np.int64)
+        if not out_cb:
+            return row_off, np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+        cb = np.concatenate(out_cb)
+        ce = np.concatenate(out_ce)
+        rid = np.concatenate(out_rid)
+        order = np.lexsort((cb, rid))
+        cb, ce, rid = cb[order], ce[order], rid[order]
+        # sorted (region, cb) interval merge; few chunks per region, so a
+        # tight scalar pass beats fighting segment-cummax in numpy
+        m_cb: List[int] = []
+        m_ce: List[int] = []
+        m_rid: List[int] = []
+        last_r = -1
+        for r, s, t in zip(rid.tolist(), cb.tolist(), ce.tolist()):
+            if r == last_r and s <= m_ce[-1]:
+                if t > m_ce[-1]:
+                    m_ce[-1] = t
+            else:
+                m_cb.append(s)
+                m_ce.append(t)
+                m_rid.append(r)
+                last_r = r
+        np.add.at(row_off, np.asarray(m_rid, dtype=np.int64) + 1, 1)
+        np.cumsum(row_off, out=row_off)
+        return (
+            row_off,
+            np.asarray(m_cb, dtype=np.uint64),
+            np.asarray(m_ce, dtype=np.uint64),
+        )
 
     @classmethod
     def load(cls, path: str) -> "BaiIndex":

@@ -19,7 +19,7 @@ import numpy as np
 
 from svtyper_tpu.bamio.bai import BaiIndex
 from svtyper_tpu.bamio.bgzf import BgzfReader, VirtualStream
-from svtyper_tpu.bamio.columns import ReadBatch
+from svtyper_tpu.bamio.columns import ReadBatch, _ragged_gather_indices
 from svtyper_tpu.bamio.records import decode_stream
 
 
@@ -193,32 +193,38 @@ class BamFile:
         the decode loop; the pure-Python path applies the identical
         filters post-hoc so outputs match the native core byte-for-byte.
         """
-        prepared = []  # (region_idx, tid, lo, hi, ranges)
-        for qi, (chrom, start, end) in enumerate(regions):
-            tid = self.header.name_to_tid.get(chrom)
-            if tid is None:
-                continue
-            lo = max(0, start)
-            hi = min(end, self.header.refs[tid][1])
-            if hi <= lo:
-                continue
-            ranges = self.bai.query(tid, lo, hi)
-            if ranges:
-                prepared.append((qi, tid, lo, hi, ranges))
-        if not prepared:
+        nq = len(regions)
+        tids = np.fromiter(
+            (self.header.name_to_tid.get(c, -1) for c, _, _ in regions),
+            dtype=np.int64, count=nq,
+        )
+        los = np.maximum(
+            np.fromiter((s for _, s, _ in regions), dtype=np.int64, count=nq),
+            0,
+        )
+        ref_len = np.asarray(
+            [l for _, l in self.header.refs] + [0], dtype=np.int64
+        )
+        his = np.minimum(
+            np.fromiter((e for _, _, e in regions), dtype=np.int64, count=nq),
+            ref_len[tids],
+        )
+        valid = (tids >= 0) & (his > los)
+        row_off, rb_all, rn_all = self.bai.query_many(
+            np.where(valid, tids, -1), los, np.maximum(his, los + 1)
+        )
+        counts = np.diff(row_off)
+        keep = np.flatnonzero(valid & (counts > 0))
+        if not len(keep):
             return ReadBatch(0), np.zeros(0, dtype=np.int32)
-        remap = np.array([p[0] for p in prepared], dtype=np.int32)
+        remap = keep.astype(np.int32)
         native = self._get_native()
         if native is not None:
-            rt = np.array([p[1] for p in prepared], dtype=np.int64)
-            rs = np.array([p[2] for p in prepared], dtype=np.int64)
-            re_ = np.array([p[3] for p in prepared], dtype=np.int64)
-            counts = np.array([len(p[4]) for p in prepared], dtype=np.int64)
-            ro = np.zeros(len(prepared) + 1, dtype=np.int64)
-            np.cumsum(counts, out=ro[1:])
-            flat = [rng for p in prepared for rng in p[4]]
-            rb = np.array([c[0] for c in flat], dtype=np.uint64)
-            rn = np.array([c[1] for c in flat], dtype=np.uint64)
+            rt, rs, re_ = tids[keep], los[keep], his[keep]
+            ro = np.zeros(len(keep) + 1, dtype=np.int64)
+            np.cumsum(counts[keep], out=ro[1:])
+            sel = _ragged_gather_indices(row_off, keep)
+            rb, rn = rb_all[sel], rn_all[sel]
             nfilt = filt.slice_take(remap) if filt is not None else None
             batch, qid = native.fetch_many(
                 rt, rs, re_, ro, rb, rn, threads=self._threads, filt=nfilt,
@@ -227,8 +233,11 @@ class BamFile:
             return batch, remap[qid]
         # python fallback: sequential fetches + post-hoc filter
         batches, ids = [], []
-        for qi, tid, lo, hi, ranges in prepared:
-            b = self.fetch(self.header.ref_names[tid], lo, hi)
+        for qi in keep.tolist():
+            b = self.fetch(
+                self.header.ref_names[int(tids[qi])],
+                int(los[qi]), int(his[qi]),
+            )
             if b.n:
                 batches.append(b)
                 ids.append(np.full(b.n, qi, dtype=np.int32))

@@ -234,19 +234,20 @@ class TpuEngine:
     def genotype_all(
         self, bps: List[Optional[Breakpoint]]
     ) -> List[List[GenotypeResult]]:
-        """Pipelined: chunk k+1's host prep overlaps chunk k's device
-        execution + result transfer (the device dispatch is async)."""
-        out: List[List[GenotypeResult]] = []
-        pending = None
-        for lo in range(0, len(bps), self.chunk_size):
-            chunk = bps[lo : lo + self.chunk_size]
-            arrs = self._dispatch(chunk)
-            if pending is not None:
-                out.extend(self._collect(*pending))
-            pending = (len(chunk), arrs)
-        if pending is not None:
-            out.extend(self._collect(*pending))
-        return out
+        """Pipelined two ways: the device dispatch is async, so chunk k
+        runs on the TPU while chunk k+1's host prep proceeds; and the
+        device→host sync + result unpack (``_collect``) runs on a
+        collector thread, overlapping the next chunk's fetch/layout
+        (whose C++ decode releases the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for lo in range(0, len(bps), self.chunk_size):
+                chunk = bps[lo : lo + self.chunk_size]
+                arrs = self._dispatch(chunk)
+                futures.append(pool.submit(self._collect, len(chunk), arrs))
+            return [row for f in futures for row in f.result()]
 
 
 _NI = len(INT_FIELDS)

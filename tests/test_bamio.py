@@ -213,3 +213,24 @@ def test_unsorted_write_raises(tmp_path):
     w.write("a", 0, 0, 500, 60, [(M, 100)], seq="A" * 100)
     with pytest.raises(ValueError, match="coordinate order"):
         w.write("b", 0, 0, 100, 60, [(M, 100)], seq="A" * 100)
+
+
+def test_query_many_matches_query(small_bam):
+    bai = BaiIndex.load(small_bam + ".bai")
+    rng = np.random.default_rng(7)
+    tids, begs, ends = [], [], []
+    for _ in range(200):
+        tids.append(int(rng.integers(-1, len(bai.refs) + 1)))
+        b = int(rng.integers(0, 60_000))
+        begs.append(b)
+        ends.append(b + int(rng.integers(1, 30_000)))
+    row_off, cb, ce = bai.query_many(
+        np.asarray(tids), np.asarray(begs), np.asarray(ends)
+    )
+    for i, (t, b, e) in enumerate(zip(tids, begs, ends)):
+        want = bai.query(t, b, e)
+        got = list(
+            zip(cb[row_off[i]:row_off[i + 1]].tolist(),
+                ce[row_off[i]:row_off[i + 1]].tolist())
+        )
+        assert got == want, (i, t, b, e)
