@@ -577,10 +577,12 @@ long svt_fetch_many(void* vh,
                     // {0,0,UINT64_MAX} to start fresh
                     int64_t* io_query, int64_t* io_range, uint64_t* io_voffset,
                     int64_t cap_rows, int64_t cap_blocks,
-                    Cols* out, int32_t* out_query_id, int64_t* out_rows) {
+                    Cols* out, int32_t* out_query_id, int64_t* out_rows,
+                    int64_t* out_scanned) {
   SvtBam* h = static_cast<SvtBam*>(vh);
   long n = 0;
   int64_t blk_n = 0;
+  int64_t scanned = 0;
   out->blk_off[0] = 0;
   std::vector<uint8_t> rec, aux;
   std::vector<int32_t> bstart, bend;
@@ -638,6 +640,7 @@ long svt_fetch_many(void* vh,
         memcpy(&mtid, hdr + 20, 4);
         memcpy(&mpos, hdr + 24, 4);
         memcpy(&tlen, hdr + 28, 4);
+        scanned++;
         if (tid != rtid || pos >= rhi) break;  // coordinate-sorted
         if ((flag & 0x4) || (flag & drop_flags)) {  // unmapped / filtered
           if (!vs.skip(rest)) break;
@@ -655,6 +658,25 @@ long svt_fetch_many(void* vh,
           return -1;
         }
         rest -= head_len;
+
+        // lean refspan scan: BAI linear-index granularity is 16kb, so
+        // for narrow windows most scanned records lie entirely left of
+        // the window — reject them before the full feature walk (clips,
+        // coverage, blocks) and before touching seq/aux
+        {
+          int64_t span = 0;
+          size_t coff = l_rn;
+          for (uint16_t i = 0; i < n_cig; i++) {
+            uint32_t v;
+            memcpy(&v, rec.data() + coff, 4);
+            coff += 4;
+            if (OP_CR & (1u << (v & 0xF))) span += (int64_t)(v >> 4);
+          }
+          if (pos + span <= rlo) {
+            if (!vs.skip(rest)) break;
+            continue;
+          }
+        }
 
         const uint8_t* qname = rec.data();
         size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
@@ -791,6 +813,7 @@ long svt_fetch_many(void* vh,
           *io_range = r;
           *io_voffset = vo;
           *out_rows = n;
+          *out_scanned = scanned;
           return -2;
         }
         bool rev = (flag & 0x10) != 0;
@@ -836,7 +859,92 @@ long svt_fetch_many(void* vh,
   *io_query = n_queries;
   *io_voffset = UINT64_MAX;
   *out_rows = n;
+  *out_scanned = scanned;
   return n;
+}
+
+// Fine-grained linear index build (one sequential header-only pass).
+//
+// The BAI linear index has fixed 16kb granularity, so a ~1kb fetch
+// window pays a multi-kb lead-in decode before its first overlapping
+// record. This builds a (1<<g_shift)-bp-granularity table:
+// slot[tid][i] = voffset of the FIRST record whose alignment overlaps
+// interval [i<<g, (i+1)<<g) — the exact analogue of the BAI ioff table.
+// fetch_many then clamps each BAI chunk's start voffset up to
+// slot[rlo>>g], eliminating the lead-in. Persisted by the Python side
+// as a sidecar (<bam>.fidx.npz), i.e. an index artifact like the .bai.
+//
+// slot_off[tid] = first flat slot of tid; slot_off[n_ref] = total slots.
+// Caller initializes out_vo to UINT64_MAX. Returns records scanned, -1
+// on error.
+long svt_build_fineidx(void* vh, uint64_t start_voffset, int32_t g_shift,
+                       int32_t n_ref, const int64_t* slot_off,
+                       uint64_t* out_vo) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  VStream vs{h, (size_t)(start_voffset >> 16),
+             (size_t)(start_voffset & 0xFFFF)};
+  std::vector<uint8_t> rec;
+  long scanned = 0;
+  while (true) {
+    if (!vs.ensure()) break;
+    uint64_t vo = vs.voffset();
+    uint8_t szb[4];
+    if (!vs.read(szb, 4)) break;
+    int32_t block_size;
+    memcpy(&block_size, szb, 4);
+    if (block_size < 32) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad record size"; }
+      return -1;
+    }
+    uint8_t hdr[32];
+    if (!vs.read(hdr, 32)) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
+      return -1;
+    }
+    size_t rest = (size_t)block_size - 32;
+    int32_t tid, pos;
+    memcpy(&tid, hdr, 4);
+    memcpy(&pos, hdr + 4, 4);
+    uint8_t l_rn = hdr[8];
+    uint16_t n_cig;
+    memcpy(&n_cig, hdr + 12, 2);
+    scanned++;
+    if (tid < 0 || tid >= n_ref || pos < 0) {  // unmapped tail
+      if (!vs.skip(rest)) break;
+      continue;
+    }
+    size_t head_len = (size_t)l_rn + 4ull * n_cig;
+    if (head_len > rest) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "bad record layout"; }
+      return -1;
+    }
+    rec.resize(head_len);
+    if (!vs.read(rec.data(), head_len)) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
+      return -1;
+    }
+    if (!vs.skip(rest - head_len)) break;
+    int64_t span = 0;
+    {
+      size_t coff = l_rn;
+      for (uint16_t i = 0; i < n_cig; i++) {
+        uint32_t v;
+        memcpy(&v, rec.data() + coff, 4);
+        coff += 4;
+        if (OP_CR & (1u << (v & 0xF))) span += (int64_t)(v >> 4);
+      }
+    }
+    if (span < 1) span = 1;  // placed-unmapped: still a valid lower bound
+    int64_t b = (int64_t)pos >> g_shift;
+    int64_t e = ((int64_t)pos + span - 1) >> g_shift;
+    uint64_t* slot = out_vo + slot_off[tid];
+    int64_t nslots = slot_off[tid + 1] - slot_off[tid];
+    if (b >= nslots) continue;
+    if (e >= nslots) e = nslots - 1;
+    for (int64_t i = b; i <= e; i++)
+      if (slot[i] == UINT64_MAX) slot[i] = vo;
+  }
+  return scanned;
 }
 
 // cache ref/rg name tables on the handle so fetch_many needn't take them

@@ -118,7 +118,9 @@ class BaiIndex:
             if not len(rn.keys):
                 continue
             qi = np.flatnonzero(tids == tid)
-            b, e = begs[qi], ends[qi] - 1
+            # clamp degenerate regions (end <= beg) to a single-position
+            # query so output matches per-region ``query`` behavior
+            b, e = begs[qi], np.maximum(ends[qi] - 1, begs[qi])
             # candidate bins: bin 0 + one contiguous id range per level
             cand_parts = [np.zeros(len(qi), dtype=np.int64)]
             rid_parts = [np.arange(len(qi))]

@@ -47,6 +47,25 @@ class BamHeader:
         return None
 
 
+class FineIndex:
+    """Fine-grained linear index (see bamcore.cpp::svt_build_fineidx).
+
+    ``vo[slot_off[tid] + (pos >> g_shift)]`` is a tight, safe lower-bound
+    voffset for records overlapping positions ≥ pos: after a global
+    backward fill, each slot holds the voffset of the first record
+    overlapping that or any later interval (monotone in file order).
+    Sidecar-cached as ``<bam>.fidx.npz`` — an index artifact exactly
+    like the ``.bai``.
+    """
+
+    __slots__ = ("g_shift", "slot_off", "vo")
+
+    def __init__(self, g_shift: int, slot_off: np.ndarray, vo: np.ndarray):
+        self.g_shift = g_shift
+        self.slot_off = slot_off
+        self.vo = vo
+
+
 class BamFile:
     def __init__(self, path: str, use_native: Optional[bool] = None) -> None:
         self.path = path
@@ -83,6 +102,8 @@ class BamFile:
             for i, rg in enumerate(self.header.read_groups)
         }
         self._bai: Optional[BaiIndex] = None
+        self._fineidx = None
+        self._fineidx_failed = False
 
     # -- native backend -----------------------------------------------------
     def _get_native(self):
@@ -100,6 +121,58 @@ class BamFile:
             self._native_failed = True
             self._native = None
         return self._native
+
+    def _get_fineidx(self) -> Optional[FineIndex]:
+        """Load-or-build the fine linear index (native core required).
+
+        Built once per BAM with one sequential header-only pass, then
+        cached as ``<bam>.fidx.npz`` keyed on the BAM's (size, mtime);
+        disable with SVT_NO_FINEIDX=1. Falls back to None (BAI-only
+        fetch) on any failure — purely an optimization, never required
+        for correctness.
+        """
+        if self._fineidx is not None:
+            return self._fineidx
+        if self._fineidx_failed or os.environ.get("SVT_NO_FINEIDX") == "1":
+            return None
+        native = self._get_native()
+        if native is None:
+            self._fineidx_failed = True
+            return None
+        try:
+            st = os.stat(self.path)
+            sig = np.asarray([st.st_size, int(st.st_mtime)], dtype=np.int64)
+            sidecar = self.path + ".fidx.npz"
+            if os.path.exists(sidecar):
+                with np.load(sidecar) as z:
+                    if np.array_equal(z["sig"], sig):
+                        self._fineidx = FineIndex(
+                            int(z["g_shift"]), z["slot_off"], z["vo"]
+                        )
+                        return self._fineidx
+            g_shift = int(os.environ.get("SVT_FINEIDX_SHIFT", "9"))
+            slot_off, vo = native.build_fineidx(
+                self._body_voffset, g_shift,
+                [l for _, l in self.header.refs],
+            )
+            # global backward fill: empty slots take the next set slot's
+            # voffset (set slots are monotone non-decreasing in file
+            # order, so a reversed cummin fills gaps without disturbing
+            # set values; cross-tid leakage is safe — the decode loop
+            # breaks on the first tid-mismatched record)
+            vo = np.minimum.accumulate(vo[::-1])[::-1].copy()
+            self._fineidx = FineIndex(g_shift, slot_off, vo)
+            try:
+                np.savez(
+                    sidecar, sig=sig, g_shift=np.int64(g_shift),
+                    slot_off=slot_off, vo=vo,
+                )
+            except OSError:
+                pass  # read-only dir: keep the in-memory index
+        except Exception:
+            self._fineidx_failed = True
+            return None
+        return self._fineidx
 
     # -- index ------------------------------------------------------------
     @property
@@ -221,10 +294,35 @@ class BamFile:
         native = self._get_native()
         if native is not None:
             rt, rs, re_ = tids[keep], los[keep], his[keep]
-            ro = np.zeros(len(keep) + 1, dtype=np.int64)
-            np.cumsum(counts[keep], out=ro[1:])
+            cnt = counts[keep]
             sel = _ragged_gather_indices(row_off, keep)
             rb, rn = rb_all[sel], rn_all[sel]
+            fi = self._get_fineidx()
+            if fi is not None and len(rb):
+                # clamp each BAI chunk's start voffset up to the fine
+                # index's per-window lower bound: skips the (up to 16kb
+                # of) records between the BAI linear-index slot and the
+                # window's first overlapping record
+                w = rs >> fi.g_shift
+                lower = fi.vo[fi.slot_off[rt] + w]
+                rb = np.maximum(rb, np.repeat(lower, cnt))
+                live = rb < rn
+                if not live.all():
+                    q_of_range = np.repeat(
+                        np.arange(len(keep), dtype=np.int64), cnt
+                    )[live]
+                    rb, rn = rb[live], rn[live]
+                    cnt = np.bincount(q_of_range, minlength=len(keep))
+                    qlive = cnt > 0
+                    if not qlive.all():
+                        keep = keep[qlive]
+                        remap = remap[qlive]
+                        rt, rs, re_ = rt[qlive], rs[qlive], re_[qlive]
+                        cnt = cnt[qlive]
+                    if not len(keep):
+                        return ReadBatch(0), np.zeros(0, dtype=np.int32)
+            ro = np.zeros(len(keep) + 1, dtype=np.int64)
+            np.cumsum(cnt, out=ro[1:])
             nfilt = filt.slice_take(remap) if filt is not None else None
             batch, qid = native.fetch_many(
                 rt, rs, re_, ro, rb, rn, threads=self._threads, filt=nfilt,

@@ -117,6 +117,12 @@ def get_lib():
             C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
             C.c_int64, C.c_int64,
             C.POINTER(_Cols), C.POINTER(C.c_int32), C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64),
+        ]
+        lib.svt_build_fineidx.restype = C.c_long
+        lib.svt_build_fineidx.argtypes = [
+            C.c_void_p, C.c_uint64, C.c_int32, C.c_int32,
+            C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
         ]
         lib.svt_decode.restype = C.c_long
         lib.svt_decode.argtypes = [
@@ -267,6 +273,9 @@ class NativeBam:
                           self._n_rg)
         # persistent grow-only buffer sets; one per decode thread slot
         self._bufsets: List[_BufSet] = [_BufSet()]
+        # diagnostic: total records touched by fetch_many (the scanned vs
+        # emitted ratio exposes BAI linear-index skip overhead)
+        self.scanned = 0
 
     # back-compat shims for the single-threaded decode path
     @property
@@ -321,6 +330,7 @@ class NativeBam:
         io_r = C.c_int64(0)
         io_v = C.c_uint64(2**64 - 1)
         nrows = C.c_int64(0)
+        nscan = C.c_int64(0)
         parts: List[Dict[str, np.ndarray]] = []
         qids: List[np.ndarray] = []
         cap = max(bs.cap, cap_hint, 1024)
@@ -376,7 +386,9 @@ class NativeBam:
                 C.byref(bs.cols),
                 bs.qid.ctypes.data_as(C.POINTER(C.c_int32)),
                 C.byref(nrows),
+                C.byref(nscan),
             )
+            self.scanned += int(nscan.value)
             if n == -1:
                 raise ValueError(
                     self._lib.svt_error(self._h).decode() or "fetch error"
@@ -481,6 +493,34 @@ class NativeBam:
         if not batches:
             return ReadBatch(0), np.zeros(0, dtype=np.int32)
         return ReadBatch.concat(batches), np.concatenate(qids)
+
+    def build_fineidx(
+        self, body_voffset: int, g_shift: int, ref_lens: List[int]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One header-only pass → (slot_off[n_ref+1], vo[total_slots]).
+
+        ``vo[slot_off[tid] + (pos >> g_shift)]`` = voffset of the first
+        record overlapping that interval (UINT64_MAX where none starts
+        the interval; caller backward-fills).
+        """
+        n_ref = len(ref_lens)
+        g = 1 << g_shift
+        nslots = np.asarray(
+            [(L + g - 1) >> g_shift for L in ref_lens], dtype=np.int64
+        )
+        slot_off = np.zeros(n_ref + 1, dtype=np.int64)
+        np.cumsum(nslots, out=slot_off[1:])
+        vo = np.full(int(slot_off[-1]), 2**64 - 1, dtype=np.uint64)
+        rc = self._lib.svt_build_fineidx(
+            self._h, body_voffset, g_shift, n_ref,
+            slot_off.ctypes.data_as(C.POINTER(C.c_int64)),
+            vo.ctypes.data_as(C.POINTER(C.c_uint64)),
+        )
+        if rc == -1:
+            raise ValueError(
+                self._lib.svt_error(self._h).decode() or "fineidx error"
+            )
+        return slot_off, vo
 
     def __del__(self):
         h = getattr(self, "_h", None)

@@ -242,12 +242,21 @@ class TpuEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         futures = []
+        results = []
         with ThreadPoolExecutor(max_workers=1) as pool:
             for lo in range(0, len(bps), self.chunk_size):
+                # bound the backlog at 2 in-flight chunks: device input and
+                # output buffers stay O(1) regardless of variant count, and
+                # a collect error surfaces at the next dispatch, not after
+                # every chunk has shipped
+                if len(futures) >= 2:
+                    results.extend(futures.pop(0).result())
                 chunk = bps[lo : lo + self.chunk_size]
                 arrs = self._dispatch(chunk)
                 futures.append(pool.submit(self._collect, len(chunk), arrs))
-            return [row for f in futures for row in f.result()]
+            for f in futures:
+                results.extend(f.result())
+        return results
 
 
 _NI = len(INT_FIELDS)

@@ -15,7 +15,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35: top-level export; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from svtyper_tpu.evidence.device import classify
 from svtyper_tpu.evidence.extract import ChunkInputs
@@ -79,7 +83,6 @@ def make_sharded_step(
         mesh=mesh,
         in_specs=(dspec, dspec, dspec, dspec, rspec),
         out_specs=dspec,
-        check_rep=False,
     )
     return jax.jit(fn)
 
