@@ -10,6 +10,7 @@
 // Semantics contract: byte-identical columns to the pure-Python decoder
 // (svtyper_tpu/bamio/records.py); tests/test_native.py enforces it.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -18,6 +19,7 @@
 #include <string>
 #include <sys/mman.h>
 #include <sys/stat.h>
+#include <thread>
 #include <unistd.h>
 #include <vector>
 #include <zlib.h>
@@ -26,6 +28,42 @@
 #endif
 
 static std::mutex g_err_mu;  // serializes handle error-string writes
+
+// Per-thread output of svt_fetch_chunk: the device-chunk layout built
+// directly in C++ (columns match evidence/extract.py READS_*/PAIRS_*).
+struct ChunkBuf {
+  // candidate reads (evidence table, §4.1–4.2 predicates)
+  std::vector<int32_t> c_var, c_tid, c_pos, c_end, c_lead, c_sa_tid,
+      c_sa_pos, c_sa_end, c_sa_lead;
+  std::vector<uint8_t> c_rev, c_mapq, c_lsoft, c_rsoft, c_cova, c_covb,
+      c_hassa, c_sarev, c_samapq;
+  // self-contained fragment pairs (§4.3)
+  std::vector<int32_t> p_var, p_apos, p_aend, p_bpos, p_bend, p_atid,
+      p_btid;
+  std::vector<int16_t> p_aaln, p_baln, p_alib;
+  std::vector<uint8_t> p_arev, p_brev, p_amapq, p_bmapq;
+
+  void clear() {
+    c_var.clear(); c_tid.clear(); c_pos.clear(); c_end.clear();
+    c_lead.clear(); c_sa_tid.clear(); c_sa_pos.clear(); c_sa_end.clear();
+    c_sa_lead.clear();
+    c_rev.clear(); c_mapq.clear(); c_lsoft.clear(); c_rsoft.clear();
+    c_cova.clear(); c_covb.clear(); c_hassa.clear(); c_sarev.clear();
+    c_samapq.clear();
+    p_var.clear(); p_apos.clear(); p_aend.clear(); p_bpos.clear();
+    p_bend.clear(); p_atid.clear(); p_btid.clear();
+    p_aaln.clear(); p_baln.clear(); p_alib.clear();
+    p_arev.clear(); p_brev.clear(); p_amapq.clear(); p_bmapq.clear();
+  }
+  void truncate_cands(size_t n) {
+    c_var.resize(n); c_tid.resize(n); c_pos.resize(n); c_end.resize(n);
+    c_lead.resize(n); c_sa_tid.resize(n); c_sa_pos.resize(n);
+    c_sa_end.resize(n); c_sa_lead.resize(n);
+    c_rev.resize(n); c_mapq.resize(n); c_lsoft.resize(n);
+    c_rsoft.resize(n); c_cova.resize(n); c_covb.resize(n);
+    c_hassa.resize(n); c_sarev.resize(n); c_samapq.resize(n);
+  }
+};
 
 extern "C" {
 
@@ -43,6 +81,9 @@ struct SvtBam {
   std::vector<std::string> ref_cache, rg_cache;
   std::vector<const char*> ref_ptrs;
   int32_t n_rg_cached = 0;
+  // svt_fetch_chunk → svt_chunk_export arena (grow-only per thread slot;
+  // one in-flight chunk per handle, like the Python-side _BufSet model)
+  std::vector<ChunkBuf> chunk_bufs;
 
   const uint8_t* data() const { return map; }
   size_t size() const { return map_size; }
@@ -945,6 +986,577 @@ long svt_build_fineidx(void* vh, uint64_t start_voffset, int32_t g_shift,
       if (slot[i] == UINT64_MAX) slot[i] = vo;
   }
   return scanned;
+}
+
+// ------------------------------------------------- chunk fetch (layout)
+
+// open-addressing hash (generation-cleared, grow-on-load): used per
+// variant for qname-hash → pair-group index and for the multi-window
+// voffset dedup set
+struct GenMap {
+  std::vector<uint64_t> key;
+  std::vector<int32_t> val;
+  std::vector<uint32_t> gen;
+  uint32_t cur = 0;
+  size_t mask = 0;
+  size_t live = 0;
+
+  void begin() {
+    if (key.empty()) {
+      key.assign(1024, 0);
+      val.assign(1024, -1);
+      gen.assign(1024, 0);
+      mask = 1023;
+    }
+    cur++;
+    live = 0;
+  }
+  void grow() {
+    std::vector<uint64_t> ok;
+    ok.swap(key);
+    std::vector<int32_t> ov;
+    ov.swap(val);
+    std::vector<uint32_t> og;
+    og.swap(gen);
+    size_t cap = ok.size() * 2;
+    key.assign(cap, 0);
+    val.assign(cap, -1);
+    gen.assign(cap, 0);
+    mask = cap - 1;
+    for (size_t i = 0; i < ok.size(); i++) {
+      if (og[i] != cur) continue;
+      size_t s = (size_t)(ok[i] * 0x9E3779B97F4A7C15ULL) & mask;
+      while (gen[s] == cur) s = (s + 1) & mask;
+      gen[s] = cur;
+      key[s] = ok[i];
+      val[s] = ov[i];
+    }
+  }
+  // find-or-insert; *inserted reports which. Inserted slots start at -1.
+  int32_t* find_or_insert(uint64_t k, bool* inserted) {
+    if ((live + 1) * 2 > key.size()) grow();
+    size_t s = (size_t)(k * 0x9E3779B97F4A7C15ULL) & mask;
+    while (gen[s] == cur) {
+      if (key[s] == k) {
+        *inserted = false;
+        return &val[s];
+      }
+      s = (s + 1) & mask;
+    }
+    gen[s] = cur;
+    key[s] = k;
+    val[s] = -1;
+    live++;
+    *inserted = true;
+    return &val[s];
+  }
+};
+
+struct PairMate {
+  uint64_t vo;
+  int32_t pos, end, tid, mtid, mpos;
+  int16_t aln, lib;
+  uint8_t rev, mapq;
+};
+
+struct PairGroup {
+  uint64_t qh;
+  int32_t cnt;
+  PairMate m1, m2;
+};
+
+struct ChunkTask {
+  SvtBam* h;
+  const int64_t *region_tid, *region_start, *region_end, *range_off;
+  const uint64_t *range_beg, *range_end;
+  const int32_t* var_of_query;
+  int32_t drop_flags;
+  const uint8_t* rg_keep;
+  const int32_t* rg_to_lib;
+  int32_t n_rg_tab;
+  const int64_t *cov_tid_a, *cov_pos_a, *cov_tid_b, *cov_pos_b;
+  int32_t min_aligned;
+  int64_t max_reads;
+  uint8_t* var_over;
+  int64_t* var_rows;
+};
+
+// Decode the queries of [q_begin, q_end) — whole variants only — into
+// cb: candidate-read rows at arrival, fragment pairs at variant close
+// (groups ordered by qname hash; within a pair, mates ordered by
+// (tid, pos, arrival) — byte-compatible with the numpy layout this
+// replaces, evidence/extract.py).
+static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
+                         ChunkBuf* cb, int64_t* scanned_out,
+                         std::string* err) {
+  SvtBam* h = T->h;
+  VStream vs{h, 0, 0};
+  std::vector<uint8_t> rec, aux;
+  GenMap gmap, voset;
+  std::vector<PairGroup> groups;
+  std::vector<std::pair<uint64_t, int32_t>> order;
+  int64_t scanned = 0;
+  const bool do_cov = T->cov_pos_a != nullptr;
+  const int32_t min_aligned = T->min_aligned;
+
+  int64_t q = q_begin;
+  while (q < q_end) {
+    const int32_t v = T->var_of_query[q];
+    int64_t q1 = q;
+    while (q1 < q_end && T->var_of_query[q1] == v) q1++;
+    const bool multi = (q1 - q) > 1;
+    gmap.begin();
+    groups.clear();
+    if (multi) voset.begin();
+    const size_t c_start = cb->c_var.size();
+    int64_t rows_kept = 0;
+
+    for (int64_t qq = q; qq < q1; qq++) {
+      const int32_t rtid = (int32_t)T->region_tid[qq];
+      const int64_t rlo = T->region_start[qq], rhi = T->region_end[qq];
+      int64_t ca_tid = -1, ca_lo = 0, ca_hi = 0;
+      int64_t cb_tid = -1, cb_lo = 0, cb_hi = 0;
+      if (do_cov) {
+        ca_tid = T->cov_tid_a[qq];
+        ca_lo = T->cov_pos_a[qq] - min_aligned + 1;
+        ca_hi = T->cov_pos_a[qq] + min_aligned + 1;
+        cb_tid = T->cov_tid_b[qq];
+        cb_lo = T->cov_pos_b[qq] - min_aligned + 1;
+        cb_hi = T->cov_pos_b[qq] + min_aligned + 1;
+      }
+      for (int64_t r = T->range_off[qq]; r < T->range_off[qq + 1]; r++) {
+        uint64_t vo0 = T->range_beg[r];
+        vs.coffset = (size_t)(vo0 >> 16);
+        vs.uoffset = (size_t)(vo0 & 0xFFFF);
+        vs.eof = false;
+        const uint64_t stop = T->range_end[r];
+        while (true) {
+          if (!vs.ensure()) break;
+          uint64_t vo = vs.voffset();
+          if (vo >= stop) break;
+          uint8_t szb[4];
+          if (!vs.read(szb, 4)) break;
+          int32_t block_size;
+          memcpy(&block_size, szb, 4);
+          if (block_size < 32) {
+            *err = "bad record size";
+            return false;
+          }
+          uint8_t hdr[32];
+          if (!vs.read(hdr, 32)) {
+            *err = "truncated record";
+            return false;
+          }
+          size_t rest = (size_t)block_size - 32;
+          int32_t tid, pos, l_seq, mtid, mpos, tlen;
+          memcpy(&tid, hdr, 4);
+          memcpy(&pos, hdr + 4, 4);
+          uint8_t l_rn = hdr[8], mapq = hdr[9];
+          uint16_t n_cig, flag;
+          memcpy(&n_cig, hdr + 12, 2);
+          memcpy(&flag, hdr + 14, 2);
+          memcpy(&l_seq, hdr + 16, 4);
+          memcpy(&mtid, hdr + 20, 4);
+          memcpy(&mpos, hdr + 24, 4);
+          memcpy(&tlen, hdr + 28, 4);
+          (void)tlen;
+          scanned++;
+          if (tid != rtid || pos >= rhi) break;  // coordinate-sorted
+          if ((flag & 0x4) || (flag & T->drop_flags)) {
+            if (!vs.skip(rest)) break;
+            continue;
+          }
+          size_t head_len = (size_t)l_rn + 4ull * n_cig;
+          size_t sq_len = ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+          if (head_len + sq_len > rest) {
+            *err = "bad record layout";
+            return false;
+          }
+          rec.resize(head_len);
+          if (!vs.read(rec.data(), head_len)) {
+            *err = "truncated record";
+            return false;
+          }
+          rest -= head_len;
+          // lean refspan pre-skip (records left of the window)
+          {
+            int64_t span = 0;
+            size_t coff = l_rn;
+            for (uint16_t i = 0; i < n_cig; i++) {
+              uint32_t cv;
+              memcpy(&cv, rec.data() + coff, 4);
+              coff += 4;
+              if (OP_CR & (1u << (cv & 0xF))) span += (int64_t)(cv >> 4);
+            }
+            if (pos + span <= rlo) {
+              if (!vs.skip(rest)) break;
+              continue;
+            }
+          }
+          const uint8_t* qname = rec.data();
+          size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
+          size_t off = l_rn;
+
+          int32_t cur = pos, ref_aln = 0;
+          int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
+          int64_t cov_acc_a = 0, cov_acc_b = 0;
+          {
+            size_t coff = off;
+            bool leading = true;
+            int32_t trail_clip = 0, trail_soft = 0;
+            for (uint16_t i = 0; i < n_cig; i++) {
+              uint32_t cv;
+              memcpy(&cv, rec.data() + coff, 4);
+              coff += 4;
+              uint32_t op = cv & 0xF, len = cv >> 4;
+              bool is_clip = (op == 4 || op == 5);
+              if (is_clip) {
+                if (leading) {
+                  lclip += (int32_t)len;
+                  if (op == 4) lsoft += (int32_t)len;
+                } else {
+                  trail_clip += (int32_t)len;
+                  if (op == 4) trail_soft += (int32_t)len;
+                }
+              } else if (op != 6) {
+                leading = false;
+                trail_clip = 0;
+                trail_soft = 0;
+              }
+              if (OP_AL & (1u << op)) {
+                ref_aln += (int32_t)len;
+                if (do_cov) {
+                  int64_t s = cur, e = cur + (int64_t)len;
+                  int64_t oa =
+                      (e < ca_hi ? e : ca_hi) - (s > ca_lo ? s : ca_lo);
+                  if (oa > 0) cov_acc_a += oa;
+                  int64_t ob =
+                      (e < cb_hi ? e : cb_hi) - (s > cb_lo ? s : cb_lo);
+                  if (ob > 0) cov_acc_b += ob;
+                }
+                cur += (int32_t)len;
+              } else if (OP_CR & (1u << op)) {
+                cur += (int32_t)len;
+              }
+            }
+            rclip = trail_clip;
+            rsoft = trail_soft;
+          }
+          const int32_t ref_end = cur;
+          if (ref_end <= rlo) {
+            if (!vs.skip(rest)) break;
+            continue;
+          }
+          if (!vs.skip(sq_len)) break;
+          rest -= sq_len;
+          aux.resize(rest);
+          if (rest && !vs.read(aux.data(), rest)) {
+            *err = "truncated record";
+            return false;
+          }
+
+          int32_t lib = -1;
+          SaInfo sa;
+          {
+            size_t p = 0, end_ = aux.size();
+            bool got_rg = false, got_sa = false;
+            while (p + 3 <= end_ && !(got_rg && got_sa)) {
+              uint8_t t0 = aux[p], t1 = aux[p + 1], typ = aux[p + 2];
+              p += 3;
+              switch (typ) {
+                case 'A': case 'c': case 'C': p += 1; break;
+                case 's': case 'S': p += 2; break;
+                case 'i': case 'I': case 'f': p += 4; break;
+                case 'Z': case 'H': {
+                  size_t z = p;
+                  while (z < end_ && aux[z]) z++;
+                  if (t0 == 'R' && t1 == 'G' && typ == 'Z') {
+                    got_rg = true;
+                    std::string val((const char*)aux.data() + p, z - p);
+                    for (int32_t g = 0; g < h->n_rg_cached; g++) {
+                      if (val == h->rg_cache[g]) {
+                        lib = g;
+                        break;
+                      }
+                    }
+                  } else if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
+                    got_sa = true;
+                    const uint8_t* s = aux.data() + p;
+                    const uint8_t* send = aux.data() + z;
+                    const uint8_t* semi = s;
+                    while (semi < send && *semi != ';') semi++;
+                    parse_sa_cached(h, s, semi, &sa);
+                  }
+                  p = z + 1;
+                  break;
+                }
+                case 'B': {
+                  if (p + 5 > end_) {
+                    p = end_;
+                    break;
+                  }
+                  uint8_t sub = aux[p];
+                  uint32_t cnt;
+                  memcpy(&cnt, aux.data() + p + 1, 4);
+                  size_t esz = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
+                               : (sub == 's' || sub == 'S')             ? 2
+                                                                        : 4;
+                  p += 5 + (size_t)cnt * esz;
+                  break;
+                }
+                default:
+                  p = end_;
+              }
+            }
+          }
+          if (T->rg_keep || T->rg_to_lib) {
+            int32_t slot = (lib >= 0 && lib < T->n_rg_tab) ? lib : T->n_rg_tab;
+            if (T->rg_keep && !T->rg_keep[slot]) continue;
+            if (T->rg_to_lib) lib = T->rg_to_lib[slot];
+          }
+          if (multi) {
+            bool ins;
+            voset.find_or_insert(vo, &ins);
+            if (!ins) continue;  // read spans both windows: keep first
+          }
+          rows_kept++;
+          const bool rev = (flag & 0x10) != 0;
+          const uint8_t cova =
+              do_cov && tid == ca_tid && cov_acc_a == 2 * (int64_t)min_aligned;
+          const uint8_t covb =
+              do_cov && tid == cb_tid && cov_acc_b == 2 * (int64_t)min_aligned;
+          if (cova || covb || sa.present || lsoft > 0 || rsoft > 0) {
+            cb->c_var.push_back(v);
+            cb->c_tid.push_back(tid);
+            cb->c_pos.push_back(pos);
+            cb->c_end.push_back(ref_end);
+            cb->c_lead.push_back(rev ? rclip : lclip);
+            cb->c_sa_tid.push_back(sa.present ? sa.tid : -1);
+            cb->c_sa_pos.push_back(sa.present ? sa.pos : -1);
+            cb->c_sa_end.push_back(sa.present ? sa.end : -1);
+            cb->c_sa_lead.push_back(sa.present ? sa.lead : 0);
+            cb->c_rev.push_back(rev);
+            cb->c_mapq.push_back(mapq);
+            cb->c_lsoft.push_back(lsoft > 0);
+            cb->c_rsoft.push_back(rsoft > 0);
+            cb->c_cova.push_back(cova);
+            cb->c_covb.push_back(covb);
+            cb->c_hassa.push_back(sa.present ? 1 : 0);
+            cb->c_sarev.push_back(sa.present ? sa.rev : 0);
+            cb->c_samapq.push_back(sa.present ? sa.mapq : 0);
+          }
+          if ((flag & 0x1) && !(flag & 0x8)) {  // paired, mate mapped
+            bool ins;
+            int32_t* slot = gmap.find_or_insert(fnv1a(qname, qname_len), &ins);
+            if (ins) {
+              *slot = (int32_t)groups.size();
+              groups.push_back(
+                  PairGroup{fnv1a(qname, qname_len), 0, {}, {}});
+            }
+            PairGroup& g = groups[*slot];
+            g.cnt++;
+            if (g.cnt <= 2) {
+              PairMate m;
+              m.vo = vo;
+              m.pos = pos;
+              m.end = ref_end;
+              m.tid = tid;
+              m.mtid = mtid;
+              m.mpos = mpos;
+              m.aln = (int16_t)(ref_aln < 0x7FFF ? ref_aln : 0x7FFF);
+              m.lib = (int16_t)(lib < 0x7FFF ? lib : 0x7FFF);
+              m.rev = rev;
+              m.mapq = mapq;
+              if (g.cnt == 1)
+                g.m1 = m;
+              else
+                g.m2 = m;
+            }
+          }
+        }
+      }
+    }
+    T->var_rows[v] += rows_kept;  // threads own whole variants
+    if (T->max_reads >= 0 && T->var_rows[v] > T->max_reads) {
+      cb->truncate_cands(c_start);
+      T->var_over[v] = 1;
+    } else {
+      order.clear();
+      for (int32_t gi = 0; gi < (int32_t)groups.size(); gi++)
+        if (groups[gi].cnt == 2) order.emplace_back(groups[gi].qh, gi);
+      std::sort(order.begin(), order.end());
+      for (auto& kv : order) {
+        PairGroup& g = groups[kv.second];
+        PairMate *a = &g.m1, *b = &g.m2;
+        if (b->tid < a->tid || (b->tid == a->tid && b->pos < a->pos)) {
+          PairMate* t = a;
+          a = b;
+          b = t;
+        }
+        // mate-identity check: a 64-bit qname-hash collision could pair
+        // two unrelated fragments; requiring each mate's MRNM/MPOS to
+        // point at the other recovers the reference's exact-qname
+        // grouping semantics (a mismatched "pair" is dropped, exactly
+        // as a >2 group is)
+        if (a->mtid != b->tid || a->mpos != b->pos || b->mtid != a->tid ||
+            b->mpos != a->pos)
+          continue;
+        cb->p_var.push_back(v);
+        cb->p_apos.push_back(a->pos);
+        cb->p_aend.push_back(a->end);
+        cb->p_bpos.push_back(b->pos);
+        cb->p_bend.push_back(b->end);
+        cb->p_atid.push_back(a->tid);
+        cb->p_btid.push_back(b->tid);
+        cb->p_aaln.push_back(a->aln);
+        cb->p_baln.push_back(b->aln);
+        cb->p_alib.push_back(a->lib);
+        cb->p_arev.push_back(a->rev);
+        cb->p_brev.push_back(b->rev);
+        cb->p_amapq.push_back(a->mapq);
+        cb->p_bmapq.push_back(b->mapq);
+      }
+    }
+    q = q1;
+  }
+  *scanned_out = scanned;
+  return true;
+}
+
+// Chunked fetch + full device layout in one call: decode every window,
+// filter, dedup multi-window variants, select candidate reads, form
+// fragment pairs, and apply max_reads — the C++ replacement for the
+// numpy layout in evidence/extract.py::prepare_chunk. Results stay in
+// the handle's arena; call svt_chunk_export to copy them into the
+// padded device matrices. Returns 0, or -1 on error.
+long svt_fetch_chunk(void* vh,
+                     int64_t n_queries,
+                     const int64_t* region_tid,
+                     const int64_t* region_start,
+                     const int64_t* region_end,
+                     const int64_t* range_off,
+                     const uint64_t* range_beg,
+                     const uint64_t* range_end_,
+                     const int32_t* var_of_query,
+                     int32_t drop_flags,
+                     const uint8_t* rg_keep,
+                     const int32_t* rg_to_lib,
+                     int32_t n_rg_tab,
+                     const int64_t* cov_tid_a, const int64_t* cov_pos_a,
+                     const int64_t* cov_tid_b, const int64_t* cov_pos_b,
+                     int32_t min_aligned,
+                     int64_t max_reads,
+                     int32_t n_threads,
+                     int64_t* out_n_cand, int64_t* out_n_pair,
+                     uint8_t* var_over, int64_t* var_rows,
+                     int64_t* out_scanned) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  if (n_threads < 1) n_threads = 1;
+  // partition queries at variant boundaries, balanced by range count
+  std::vector<int64_t> bounds{0};
+  const int64_t total = n_queries ? range_off[n_queries] : 0;
+  for (int32_t t = 1; t < n_threads; t++) {
+    int64_t target = total * t / n_threads;
+    int64_t qi =
+        std::lower_bound(range_off, range_off + n_queries, target) - range_off;
+    while (qi > 0 && qi < n_queries &&
+           var_of_query[qi] == var_of_query[qi - 1])
+      qi++;
+    if (qi < bounds.back()) qi = bounds.back();
+    bounds.push_back(qi);
+  }
+  bounds.push_back(n_queries);
+  const int T = (int)bounds.size() - 1;
+  if ((int)h->chunk_bufs.size() < T) h->chunk_bufs.resize(T);
+  for (int t = 0; t < T; t++) h->chunk_bufs[t].clear();
+
+  ChunkTask task{h, region_tid, region_start, region_end, range_off,
+                 range_beg, range_end_, var_of_query, drop_flags, rg_keep,
+                 rg_to_lib, n_rg_tab, cov_tid_a, cov_pos_a, cov_tid_b,
+                 cov_pos_b, min_aligned, max_reads, var_over, var_rows};
+  std::vector<int64_t> scans(T, 0);
+  std::vector<std::string> errs(T);
+  std::vector<char> oks(T, 1);
+  if (T == 1) {
+    oks[0] = chunk_worker(&task, bounds[0], bounds[1], &h->chunk_bufs[0],
+                          &scans[0], &errs[0]);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < T; t++) {
+      threads.emplace_back([&, t] {
+        oks[t] = chunk_worker(&task, bounds[t], bounds[t + 1],
+                              &h->chunk_bufs[t], &scans[t], &errs[t]);
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  int64_t n_cand = 0, n_pair = 0, scanned = 0;
+  for (int t = 0; t < T; t++) {
+    if (!oks[t]) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = errs[t]; }
+      return -1;
+    }
+    n_cand += (int64_t)h->chunk_bufs[t].c_var.size();
+    n_pair += (int64_t)h->chunk_bufs[t].p_var.size();
+    scanned += scans[t];
+  }
+  *out_n_cand = n_cand;
+  *out_n_pair = n_pair;
+  *out_scanned = scanned;
+  return 0;
+}
+
+// Copy the arena from the last svt_fetch_chunk into padded matrices.
+// Column order matches evidence/extract.py: READS_I32 = (var, tid, pos,
+// end, lead, sa_tid, sa_pos, sa_end, sa_lead), READS_U8 = (is_rev, mapq,
+// has_lsoft, has_rsoft, cov_a, cov_b, has_sa, sa_rev, sa_mapq),
+// PAIRS_I32 = (var, a_pos, a_end, b_pos, b_end, a_tid, b_tid),
+// PAIRS_I16 = (a_aln, b_aln, a_lib), PAIRS_U8 = (a_rev, b_rev, a_mapq,
+// b_mapq). Strides are the padded row lengths.
+long svt_chunk_export(void* vh, int32_t* r_i32, uint8_t* r_u8,
+                      int64_t r_stride, int32_t* p_i32, int16_t* p_i16,
+                      uint8_t* p_u8, int64_t p_stride) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  int64_t co = 0, po = 0;
+  for (auto& cb : h->chunk_bufs) {
+    const size_t n = cb.c_var.size();
+    if (n) {
+      const int32_t* ci32[9] = {cb.c_var.data(),    cb.c_tid.data(),
+                                cb.c_pos.data(),    cb.c_end.data(),
+                                cb.c_lead.data(),   cb.c_sa_tid.data(),
+                                cb.c_sa_pos.data(), cb.c_sa_end.data(),
+                                cb.c_sa_lead.data()};
+      const uint8_t* cu8[9] = {cb.c_rev.data(),   cb.c_mapq.data(),
+                               cb.c_lsoft.data(), cb.c_rsoft.data(),
+                               cb.c_cova.data(),  cb.c_covb.data(),
+                               cb.c_hassa.data(), cb.c_sarev.data(),
+                               cb.c_samapq.data()};
+      for (int k = 0; k < 9; k++) {
+        memcpy(r_i32 + (int64_t)k * r_stride + co, ci32[k], n * 4);
+        memcpy(r_u8 + (int64_t)k * r_stride + co, cu8[k], n);
+      }
+      co += (int64_t)n;
+    }
+    const size_t m = cb.p_var.size();
+    if (m) {
+      const int32_t* pi32[7] = {cb.p_var.data(),  cb.p_apos.data(),
+                                cb.p_aend.data(), cb.p_bpos.data(),
+                                cb.p_bend.data(), cb.p_atid.data(),
+                                cb.p_btid.data()};
+      const int16_t* pi16[3] = {cb.p_aaln.data(), cb.p_baln.data(),
+                                cb.p_alib.data()};
+      const uint8_t* pu8[4] = {cb.p_arev.data(), cb.p_brev.data(),
+                               cb.p_amapq.data(), cb.p_bmapq.data()};
+      for (int k = 0; k < 7; k++)
+        memcpy(p_i32 + (int64_t)k * p_stride + po, pi32[k], m * 4);
+      for (int k = 0; k < 3; k++)
+        memcpy(p_i16 + (int64_t)k * p_stride + po, pi16[k], m * 2);
+      for (int k = 0; k < 4; k++)
+        memcpy(p_u8 + (int64_t)k * p_stride + po, pu8[k], m);
+      po += (int64_t)m;
+    }
+  }
+  return 0;
 }
 
 // cache ref/rg name tables on the handle so fetch_many needn't take them

@@ -150,7 +150,17 @@ class BamFile:
                             int(z["g_shift"]), z["slot_off"], z["vo"]
                         )
                         return self._fineidx
-            g_shift = int(os.environ.get("SVT_FINEIDX_SHIFT", "9"))
+            env_shift = os.environ.get("SVT_FINEIDX_SHIFT")
+            if env_shift is not None:
+                g_shift = int(env_shift)
+            else:
+                # adaptive granularity: finest shift ≥ 7 (128bp) whose
+                # table stays ≤ 8M slots (64MB sidecar) — small genomes
+                # get near-exact seeks, human-scale gets 512bp
+                total_bp = sum(l for _, l in self.header.refs)
+                g_shift = 7
+                while g_shift < 16 and (total_bp >> g_shift) > (8 << 20):
+                    g_shift += 1
             slot_off, vo = native.build_fineidx(
                 self._body_voffset, g_shift,
                 [l for _, l in self.header.refs],
@@ -251,20 +261,13 @@ class BamFile:
         )
         return batch
 
-    def fetch_many(
-        self, regions: List[Tuple[str, int, int]], filt=None,
-        transient: bool = False,
-    ) -> Tuple[ReadBatch, "np.ndarray"]:
-        """Batched fetch of many regions in one native call.
+    def _prep_ranges(self, regions: List[Tuple[str, int, int]]):
+        """Region list → clamped, BAI-resolved, fine-index-tightened
+        voffset ranges for the native decode loops.
 
-        Returns (batch, region_id per row); rows arrive grouped by
-        region in input order, each region's rows in coordinate order —
-        identical to concatenating single ``fetch`` results.
-
-        ``filt`` (a :class:`svtyper_tpu.bamio.native.FetchFilter`) pushes
-        flag/read-group filtering and the aligned-coverage predicate into
-        the decode loop; the pure-Python path applies the identical
-        filters post-hoc so outputs match the native core byte-for-byte.
+        Returns None when no region has any index chunk, else
+        ``(keep, remap, rt, rs, re_, ro, rb, rn)`` where ``keep``/
+        ``remap`` map kept queries back to input region indices.
         """
         nq = len(regions)
         tids = np.fromiter(
@@ -289,46 +292,91 @@ class BamFile:
         counts = np.diff(row_off)
         keep = np.flatnonzero(valid & (counts > 0))
         if not len(keep):
-            return ReadBatch(0), np.zeros(0, dtype=np.int32)
+            return None
         remap = keep.astype(np.int32)
+        rt, rs, re_ = tids[keep], los[keep], his[keep]
+        cnt = counts[keep]
+        sel = _ragged_gather_indices(row_off, keep)
+        rb, rn = rb_all[sel], rn_all[sel]
+        fi = self._get_fineidx()
+        if fi is not None and len(rb):
+            # clamp each BAI chunk's start voffset up to the fine
+            # index's per-window lower bound: skips the (up to 16kb
+            # of) records between the BAI linear-index slot and the
+            # window's first overlapping record
+            w = rs >> fi.g_shift
+            lower = fi.vo[fi.slot_off[rt] + w]
+            rb = np.maximum(rb, np.repeat(lower, cnt))
+            live = rb < rn
+            if not live.all():
+                q_of_range = np.repeat(
+                    np.arange(len(keep), dtype=np.int64), cnt
+                )[live]
+                rb, rn = rb[live], rn[live]
+                cnt = np.bincount(q_of_range, minlength=len(keep))
+                qlive = cnt > 0
+                if not qlive.all():
+                    keep = keep[qlive]
+                    remap = remap[qlive]
+                    rt, rs, re_ = rt[qlive], rs[qlive], re_[qlive]
+                    cnt = cnt[qlive]
+                if not len(keep):
+                    return None
+        ro = np.zeros(len(keep) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=ro[1:])
+        return keep, remap, rt, rs, re_, ro, rb, rn
+
+    def fetch_many(
+        self, regions: List[Tuple[str, int, int]], filt=None,
+        transient: bool = False,
+    ) -> Tuple[ReadBatch, "np.ndarray"]:
+        """Batched fetch of many regions in one native call.
+
+        Returns (batch, region_id per row); rows arrive grouped by
+        region in input order, each region's rows in coordinate order —
+        identical to concatenating single ``fetch`` results.
+
+        ``filt`` (a :class:`svtyper_tpu.bamio.native.FetchFilter`) pushes
+        flag/read-group filtering and the aligned-coverage predicate into
+        the decode loop; the pure-Python path applies the identical
+        filters post-hoc so outputs match the native core byte-for-byte.
+        """
         native = self._get_native()
         if native is not None:
-            rt, rs, re_ = tids[keep], los[keep], his[keep]
-            cnt = counts[keep]
-            sel = _ragged_gather_indices(row_off, keep)
-            rb, rn = rb_all[sel], rn_all[sel]
-            fi = self._get_fineidx()
-            if fi is not None and len(rb):
-                # clamp each BAI chunk's start voffset up to the fine
-                # index's per-window lower bound: skips the (up to 16kb
-                # of) records between the BAI linear-index slot and the
-                # window's first overlapping record
-                w = rs >> fi.g_shift
-                lower = fi.vo[fi.slot_off[rt] + w]
-                rb = np.maximum(rb, np.repeat(lower, cnt))
-                live = rb < rn
-                if not live.all():
-                    q_of_range = np.repeat(
-                        np.arange(len(keep), dtype=np.int64), cnt
-                    )[live]
-                    rb, rn = rb[live], rn[live]
-                    cnt = np.bincount(q_of_range, minlength=len(keep))
-                    qlive = cnt > 0
-                    if not qlive.all():
-                        keep = keep[qlive]
-                        remap = remap[qlive]
-                        rt, rs, re_ = rt[qlive], rs[qlive], re_[qlive]
-                        cnt = cnt[qlive]
-                    if not len(keep):
-                        return ReadBatch(0), np.zeros(0, dtype=np.int32)
-            ro = np.zeros(len(keep) + 1, dtype=np.int64)
-            np.cumsum(cnt, out=ro[1:])
+            pre = self._prep_ranges(regions)
+            if pre is None:
+                return ReadBatch(0), np.zeros(0, dtype=np.int32)
+            keep, remap, rt, rs, re_, ro, rb, rn = pre
             nfilt = filt.slice_take(remap) if filt is not None else None
             batch, qid = native.fetch_many(
                 rt, rs, re_, ro, rb, rn, threads=self._threads, filt=nfilt,
                 transient=transient,
             )
             return batch, remap[qid]
+        nq = len(regions)
+        tids = np.fromiter(
+            (self.header.name_to_tid.get(c, -1) for c, _, _ in regions),
+            dtype=np.int64, count=nq,
+        )
+        los = np.maximum(
+            np.fromiter((s for _, s, _ in regions), dtype=np.int64, count=nq),
+            0,
+        )
+        ref_len = np.asarray(
+            [l for _, l in self.header.refs] + [0], dtype=np.int64
+        )
+        his = np.minimum(
+            np.fromiter((e for _, _, e in regions), dtype=np.int64, count=nq),
+            ref_len[tids],
+        )
+        valid = (tids >= 0) & (his > los)
+        row_off, _rb, _rn = self.bai.query_many(
+            np.where(valid, tids, -1), los, np.maximum(his, los + 1)
+        )
+        counts = np.diff(row_off)
+        keep = np.flatnonzero(valid & (counts > 0))
+        if not len(keep):
+            return ReadBatch(0), np.zeros(0, dtype=np.int32)
         # python fallback: sequential fetches + post-hoc filter
         batches, ids = [], []
         for qi in keep.tolist():
@@ -346,6 +394,46 @@ class BamFile:
         if filt is not None:
             batch, rid = _apply_filter_py(batch, rid, filt)
         return batch, rid
+
+    def fetch_chunk(
+        self,
+        regions: List[Tuple[str, int, int]],
+        var_of: "np.ndarray",
+        n_var: int,
+        filt,
+        max_reads: Optional[int] = None,
+    ):
+        """Decode + full device-chunk layout in one native call (see
+        bamcore.cpp::svt_fetch_chunk). ``var_of[i]`` is region *i*'s
+        variant slot (must be non-decreasing — regions grouped per
+        variant). Returns ``(n_cand, n_pair, var_over, var_rows,
+        export)`` where ``export(r_i32, r_u8, p_i32, p_i16, p_u8)``
+        copies the tables into caller-allocated padded matrices, or
+        None when the native core is unavailable (caller falls back to
+        the numpy layout).
+        """
+        native = self._get_native()
+        if native is None or not hasattr(native._lib, "svt_fetch_chunk"):
+            return None
+        pre = self._prep_ranges(regions)
+        if pre is None:
+            empty = np.zeros(n_var, dtype=np.uint8)
+            rows = np.zeros(n_var, dtype=np.int64)
+
+            def export_empty(r_i32, r_u8, p_i32, p_i16, p_u8):
+                return None
+
+            return 0, 0, empty, rows, export_empty
+        keep, remap, rt, rs, re_, ro, rb, rn = pre
+        nfilt = filt.slice_take(remap) if filt is not None else None
+        vq = np.ascontiguousarray(
+            np.asarray(var_of, dtype=np.int32)[remap]
+        )
+        n_cand, n_pair, var_over, var_rows = native.fetch_chunk(
+            rt, rs, re_, ro, rb, rn, vq, n_var, nfilt,
+            max_reads=max_reads, threads=self._threads,
+        )
+        return n_cand, n_pair, var_over, var_rows, native.chunk_export
 
     def scan(
         self,

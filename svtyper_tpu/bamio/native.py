@@ -124,6 +124,29 @@ def get_lib():
             C.c_void_p, C.c_uint64, C.c_int32, C.c_int32,
             C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
         ]
+        lib.svt_fetch_chunk.restype = C.c_long
+        lib.svt_fetch_chunk.argtypes = [
+            C.c_void_p, C.c_int64,
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64),
+            C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
+            C.POINTER(C.c_int32),
+            C.c_int32,
+            C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int32,
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.c_int32, C.c_int64, C.c_int32,
+            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
+            C.POINTER(C.c_int64),
+        ]
+        lib.svt_chunk_export.restype = C.c_long
+        lib.svt_chunk_export.argtypes = [
+            C.c_void_p,
+            C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
+            C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.POINTER(C.c_uint8),
+            C.c_int64,
+        ]
         lib.svt_decode.restype = C.c_long
         lib.svt_decode.argtypes = [
             C.c_void_p,
@@ -493,6 +516,106 @@ class NativeBam:
         if not batches:
             return ReadBatch(0), np.zeros(0, dtype=np.int32)
         return ReadBatch.concat(batches), np.concatenate(qids)
+
+    def fetch_chunk(
+        self,
+        region_tid: np.ndarray,
+        region_start: np.ndarray,
+        region_end: np.ndarray,
+        range_off: np.ndarray,
+        range_beg: np.ndarray,
+        range_end: np.ndarray,
+        var_of_query: np.ndarray,
+        n_var: int,
+        filt: "FetchFilter",
+        max_reads: Optional[int] = None,
+        threads: int = 1,
+    ) -> Tuple[int, int, np.ndarray, np.ndarray]:
+        """Decode + full device-chunk layout in C++ (bamcore
+        svt_fetch_chunk): candidate-read selection, multi-window dedup,
+        fragment pairing and max_reads capping all happen inside the
+        decode pass. Returns ``(n_cand, n_pair, var_over, var_rows)``;
+        copy the tables out with :meth:`chunk_export`.
+        """
+        rt = np.ascontiguousarray(region_tid, dtype=np.int64)
+        rs = np.ascontiguousarray(region_start, dtype=np.int64)
+        re_ = np.ascontiguousarray(region_end, dtype=np.int64)
+        ro = np.ascontiguousarray(range_off, dtype=np.int64)
+        rb = np.ascontiguousarray(range_beg, dtype=np.uint64)
+        rn = np.ascontiguousarray(range_end, dtype=np.uint64)
+        vq = np.ascontiguousarray(var_of_query, dtype=np.int32)
+
+        def i64p(a):
+            return (
+                a.ctypes.data_as(C.POINTER(C.c_int64))
+                if a is not None
+                else None
+            )
+
+        rg_keep = (
+            filt.rg_keep.ctypes.data_as(C.POINTER(C.c_uint8))
+            if filt.rg_keep is not None
+            else None
+        )
+        rg_to_lib = (
+            filt.rg_to_lib.ctypes.data_as(C.POINTER(C.c_int32))
+            if filt.rg_to_lib is not None
+            else None
+        )
+        n_rg_tab = (
+            len(filt.rg_to_lib) - 1 if filt.rg_to_lib is not None
+            else (len(filt.rg_keep) - 1 if filt.rg_keep is not None else 0)
+        )
+        n_cand = C.c_int64(0)
+        n_pair = C.c_int64(0)
+        nscan = C.c_int64(0)
+        var_over = np.zeros(n_var, dtype=np.uint8)
+        var_rows = np.zeros(n_var, dtype=np.int64)
+        rc = self._lib.svt_fetch_chunk(
+            self._h, len(rt),
+            i64p(rt), i64p(rs), i64p(re_), i64p(ro),
+            rb.ctypes.data_as(C.POINTER(C.c_uint64)),
+            rn.ctypes.data_as(C.POINTER(C.c_uint64)),
+            vq.ctypes.data_as(C.POINTER(C.c_int32)),
+            filt.drop_flags, rg_keep, rg_to_lib, n_rg_tab,
+            i64p(filt.cov_tid_a), i64p(filt.cov_pos_a),
+            i64p(filt.cov_tid_b), i64p(filt.cov_pos_b),
+            filt.min_aligned,
+            -1 if max_reads is None else int(max_reads),
+            max(int(threads), 1),
+            C.byref(n_cand), C.byref(n_pair),
+            var_over.ctypes.data_as(C.POINTER(C.c_uint8)),
+            var_rows.ctypes.data_as(C.POINTER(C.c_int64)),
+            C.byref(nscan),
+        )
+        self.scanned += int(nscan.value)
+        if rc == -1:
+            raise ValueError(
+                self._lib.svt_error(self._h).decode() or "fetch_chunk error"
+            )
+        return int(n_cand.value), int(n_pair.value), var_over, var_rows
+
+    def chunk_export(
+        self,
+        r_i32: np.ndarray,
+        r_u8: np.ndarray,
+        p_i32: np.ndarray,
+        p_i16: np.ndarray,
+        p_u8: np.ndarray,
+    ) -> None:
+        """Copy the last fetch_chunk's tables into padded matrices
+        (strides = padded row length; caller owns padding rows)."""
+        assert r_i32.flags.c_contiguous and p_i32.flags.c_contiguous
+        self._lib.svt_chunk_export(
+            self._h,
+            r_i32.ctypes.data_as(C.POINTER(C.c_int32)),
+            r_u8.ctypes.data_as(C.POINTER(C.c_uint8)),
+            r_i32.shape[1],
+            p_i32.ctypes.data_as(C.POINTER(C.c_int32)),
+            p_i16.ctypes.data_as(C.POINTER(C.c_int16)),
+            p_u8.ctypes.data_as(C.POINTER(C.c_uint8)),
+            p_i32.shape[1],
+        )
 
     def build_fineidx(
         self, body_voffset: int, g_shift: int, ref_lens: List[int]

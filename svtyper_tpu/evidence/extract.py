@@ -8,6 +8,7 @@ math happens on device (SPEC.md §§3–5).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -222,6 +223,63 @@ def prepare_chunk(
         min_aligned=min_aligned,
         want_blocks=False,
     )
+    # ---- fast path: decode + dedup + pairing + candidate selection all
+    # inside the C++ core, exported straight into the padded device
+    # matrices (bamcore.cpp::svt_fetch_chunk). SVT_NO_FETCHCHUNK=1 forces
+    # the numpy layout below, which stays as the semantic reference
+    # (tests assert the two paths produce identical chunks).
+    if os.environ.get("SVT_NO_FETCHCHUNK") != "1":
+        res = sample.bam.fetch_chunk(
+            regions, reg_var_arr, n_var, filt, max_reads=max_reads
+        )
+        if res is not None:
+            n_ev, n_pair, var_over, _var_rows, export = res
+            r_pad = max(pad_reads or 0, _bucket(max(n_ev, 1)))
+            f_pad = max(pad_pairs or 0, _bucket(max(n_pair, 1), floor=64))
+            m32 = np.zeros((len(READS_I32), r_pad), dtype=np.int32)
+            mu8 = np.zeros((len(READS_U8), r_pad), dtype=np.uint8)
+            p32 = np.zeros((len(PAIRS_I32), f_pad), dtype=np.int32)
+            p16 = np.zeros((len(PAIRS_I16), f_pad), dtype=np.int16)
+            pu8 = np.zeros((len(PAIRS_U8), f_pad), dtype=np.uint8)
+            export(m32, mu8, p32, p16, pu8)
+            m32[0, n_ev:] = n_var  # var padding → trash segment
+            p32[0, n_pair:] = n_var
+            p32[5, n_pair:] = -1  # padding tids match no variant
+            p32[6, n_pair:] = -1
+            variants["force_null"] = (
+                variants["force_null"] | var_over.view(np.bool_)
+            )
+            reads = {}
+            for i, name in enumerate(READS_I32):
+                reads[name] = m32[i]
+            for i, name in enumerate(READS_U8):
+                reads[name] = (
+                    mu8[i].view(np.bool_) if name in READS_BOOL else mu8[i]
+                )
+            pairs = {}
+            for i, name in enumerate(PAIRS_I32):
+                pairs[name] = p32[i]
+            for i, name in enumerate(PAIRS_I16):
+                pairs[name] = p16[i]
+            for i, name in enumerate(PAIRS_U8):
+                pairs[name] = (
+                    pu8[i].view(np.bool_) if name in PAIRS_BOOL else pu8[i]
+                )
+            v32 = np.empty((len(VARS_I32), n_var), dtype=np.int32)
+            vu8 = np.empty((len(VARS_BOOL), n_var), dtype=np.uint8)
+            for i, name in enumerate(VARS_I32):
+                v32[i] = variants[name]
+                variants[name] = v32[i]
+            for i, name in enumerate(VARS_BOOL):
+                vu8[i] = variants[name]
+                variants[name] = vu8[i].view(np.bool_)
+            packed = {
+                "r_i32": m32, "r_u8": mu8,
+                "p_i32": p32, "p_i16": p16, "p_u8": pu8,
+                "v_i32": v32, "v_u8": vu8,
+            }
+            return ChunkInputs(reads, pairs, variants, n_var, packed)
+
     # transient: rows are repacked into padded device buffers below, so
     # the batch may alias the decoder's reusable buffers (one copy saved)
     big, rid = sample.bam.fetch_many(regions, filt=filt, transient=True)
@@ -336,6 +394,17 @@ def prepare_chunk(
         two = gcount == 2
         p_a = order[gstart[two]]
         p_b = order[gstart[two] + 1]
+        # mate-identity check: a 64-bit qname-hash collision could pair
+        # two unrelated fragments; requiring each mate's MRNM/MPOS to
+        # point at the other recovers the reference's exact-qname
+        # grouping (a mismatched "pair" is dropped like a >2 group)
+        mtid_s, mpos_s = s(big.mate_tid), s(big.mate_pos)
+        okm = (
+            (mtid_s[p_a] == tid_s[p_b]) & (mpos_s[p_a] == pos_s[p_b])
+            & (mtid_s[p_b] == tid_s[p_a]) & (mpos_s[p_b] == pos_s[p_a])
+        )
+        if not okm.all():
+            p_a, p_b = p_a[okm], p_b[okm]
         p_var = var_of[p_a]
     else:
         p_a = p_b = np.zeros(0, dtype=np.int64)

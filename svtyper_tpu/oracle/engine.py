@@ -189,6 +189,16 @@ def classify_fragments(
             ra, rb = primaries
             if (int(ra.tid), int(ra.pos)) > (int(rb.tid), int(rb.pos)):
                 ra, rb = rb, ra
+            # mate-identity check (qname-hash collision guard): each
+            # mate's MRNM/MPOS must point at the other, recovering the
+            # reference's exact-qname grouping semantics
+            if (
+                int(ra.mate_tid) != int(rb.tid)
+                or int(ra.mate_pos) != int(rb.pos)
+                or int(rb.mate_tid) != int(ra.tid)
+                or int(rb.mate_pos) != int(ra.pos)
+            ):
+                continue
             p_pair = prob_mapq(int(ra.mapq)) * prob_mapq(int(rb.mapq))
             ref_a = _straddle(ra, rb, tid_a, pa, ca, tid_a, pa, ca, False, True, min_aligned)
             ref_b = _straddle(ra, rb, tid_b, pb, cb, tid_b, pb, cb, False, True, min_aligned)
