@@ -80,7 +80,7 @@ def main():
     if os.environ.get("SVT_BENCH_CHILD") == "1":
         return _measure()
     attempts = int(os.environ.get("SVT_BENCH_RETRIES", "4"))
-    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "150"))
+    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "240"))
     env = dict(os.environ, SVT_BENCH_CHILD="1")
 
     def relay_ok() -> bool:
@@ -163,27 +163,48 @@ def _measure():
     bps = [resolve_breakpoint(v) for v in variants]
     sys.stderr.write("%d variants, sample ready\n" % len(bps))
 
-    # --- baseline: float64 per-read oracle on a prefix
+    # --- baseline: float64 per-read oracle, PINNED denominator — the
+    # median of 5 timed runs over a fixed prefix (the oracle is
+    # host-load sensitive; BENCH_r01 showed ±2x swings on single runs)
     oracle = OracleEngine([sample])
-    t0 = time.time()
-    for bp in bps[:ORACLE_N]:
-        oracle.genotype_variant(bp)
-    oracle_vps = ORACLE_N / (time.time() - t0)
-    sys.stderr.write("oracle: %.2f variants/s\n" % oracle_vps)
+    for bp in bps[:8]:
+        oracle.genotype_variant(bp)  # warm page cache + fine index
+    oracle_runs = []
+    for _ in range(5):
+        t0 = time.time()
+        for bp in bps[:ORACLE_N]:
+            oracle.genotype_variant(bp)
+        oracle_runs.append(ORACLE_N / (time.time() - t0))
+    oracle_vps = float(np.median(oracle_runs))
+    sys.stderr.write(
+        "oracle: %.2f variants/s (median of %s)\n"
+        % (oracle_vps, ["%.1f" % r for r in oracle_runs])
+    )
 
-    # --- TPU engine: warmup (compile) then timed full run
+    # --- TPU engine: warmup (compile) then timed multi-pass run over
+    # >= SVT_BENCH_MIN_MEASURED variants so the window is seconds-long
     chunk = int(os.environ.get("SVT_BENCH_CHUNK", "1024"))
+    min_measured = int(os.environ.get("SVT_BENCH_MIN_MEASURED", "9600"))
+    passes = max(1, -(-min_measured // len(bps)))
     engine = TpuEngine([sample], chunk_size=chunk)
     # warmup: first full-size chunk triggers the dominant-bucket compile
     engine.genotype_chunk(bps[: min(chunk, len(bps))])
+    engine.genotype_all(bps)  # settle high-water buckets end-to-end
+    for k in engine.stats:
+        engine.stats[k] = 0
     t0 = time.time()
-    results = engine.genotype_all(bps)
+    for _ in range(passes):
+        results = engine.genotype_all(bps)
     dt = time.time() - t0
-    tpu_vps = len(bps) / dt
+    n_measured = passes * len(bps)
+    tpu_vps = n_measured / dt
     n_called = sum(1 for row in results if not row[0].null)
+    st = engine.stats
     sys.stderr.write(
-        "tpu engine: %.2f variants/s (%.1fs total, %d/%d called)\n"
-        % (tpu_vps, dt, n_called, len(bps))
+        "tpu engine: %.2f variants/s (%d variants in %.1fs over %d passes;"
+        " prep %.2fs, sync %.2fs; %d/%d called)\n"
+        % (tpu_vps, n_measured, dt, passes, st["prep_s"], st["sync_s"],
+           n_called, len(bps))
     )
 
     print(
@@ -193,6 +214,11 @@ def _measure():
                 "value": round(tpu_vps, 2),
                 "unit": "variants/s",
                 "vs_baseline": round(tpu_vps / oracle_vps, 2),
+                "oracle_vps": round(oracle_vps, 2),
+                "n_measured": n_measured,
+                "chunk_size": chunk,
+                "prep_s": round(st["prep_s"], 3),
+                "sync_s": round(st["sync_s"], 3),
             }
         )
     )

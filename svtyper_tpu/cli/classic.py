@@ -101,6 +101,38 @@ def sv_genotype(
 ) -> None:
     """Library entry point (parity of ``classic.py::sv_genotype``)."""
     t0 = time.time()
+    # multi-host bootstrap (SURVEY.md §5 comm backend): env-driven
+    # jax.distributed — one process per host, host i genotypes the
+    # contiguous slice shard_slices(n, P)[i], fixed-width result rows
+    # are allgathered over DCN, host 0 formats + writes the single VCF.
+    # Must run before any other jax use in this process.
+    from svtyper_tpu.parallel.multihost import (
+        allgather_rows,
+        initialize_from_env,
+        shard_slices,
+    )
+
+    dist_coord = os.environ.get("SVT_DIST_COORD")
+    dist_nprocs = os.environ.get("SVT_DIST_NPROCS")
+    if dist_coord and dist_nprocs:
+        proc_id, n_procs = initialize_from_env(
+            dist_coord, int(dist_nprocs),
+            int(os.environ.get("SVT_DIST_PROCID", "0")),
+        )
+        if num_shards != 1:
+            raise ValueError(
+                "--num_shards is manual sharding; incompatible with "
+                "SVT_DIST_* automatic multihost mode"
+            )
+        if checkpoint_dir:
+            raise ValueError(
+                "--checkpoint_dir replays formatted chunks without "
+                "re-genotyping, which would desynchronize the gathered "
+                "row stream; rerun the failed shard instead (shards are "
+                "idempotent)"
+            )
+    else:
+        proc_id, n_procs = 0, 1
     bam_paths = [b for b in bam_string.split(",") if b]
     bams = [BamFile(p) for p in bam_paths]
 
@@ -152,6 +184,60 @@ def sv_genotype(
     sample_names = [s.name for s in samples]
     for name in sample_names:
         vcf.add_sample(name)
+
+    if n_procs > 1:
+        # phase 1 (every process): genotype this host's contiguous
+        # variant slice; ship fixed-width rows through the collective
+        import numpy as np
+
+        from svtyper_tpu.gt.engine import (
+            ROW_WIDTH,
+            result_to_row,
+            row_to_result,
+        )
+        from svtyper_tpu.parallel.multihost import merge_ordered
+
+        body = list(body)
+        slices = shard_slices(len(body), n_procs)
+        lo, hi = slices[proc_id]
+        rows_flat: List = []
+        for c0 in range(lo, hi, batch_size):
+            chunk_vars = [
+                Variant(line, vcf) for line in body[c0 : min(c0 + batch_size, hi)]
+            ]
+            bps_chunk = [resolve_breakpoint(v) for v in chunk_vars]
+            rows_flat.extend(run_chunk(bps_chunk))
+        arr = np.zeros(
+            (len(rows_flat), len(sample_names), ROW_WIDTH), dtype=np.float64
+        )
+        for i, row in enumerate(rows_flat):
+            for s, r in enumerate(row):
+                arr[i, s] = result_to_row(r)
+        if verbose:
+            sys.stderr.write(
+                "host %d/%d: genotyped slice [%d:%d); gathering\n"
+                % (proc_id, n_procs, lo, hi)
+            )
+        shards = allgather_rows(arr)
+        if proc_id != 0:
+            return  # host 0 owns formatting + the single ordered write
+        all_rows = merge_ordered(shards, slices)
+        # phase 2 (host 0 only): replay the ordinary formatting pipeline
+        # (BND mate sharing, QUAL aggregation, FORMAT emission) over the
+        # full record stream with genotyping replaced by a row lookup
+        _cursor = [0]
+
+        def run_chunk(bps_chunk, _rows=all_rows, _c=_cursor):
+            k = _c[0]
+            _c[0] += len(bps_chunk)
+            return [
+                [
+                    row_to_result(_rows[k + j, s])
+                    for s in range(len(sample_names))
+                ]
+                for j in range(len(bps_chunk))
+            ]
+
     if shard_index == 0:
         # shards >0 emit body-only so that `cat shard0 shard1 ...` is
         # byte-identical to the single-process output

@@ -143,6 +143,40 @@ def pack_chunk(chunk: "ChunkInputs") -> Dict[str, np.ndarray]:
     }
 
 
+def repad_packed(
+    packed: Dict[str, np.ndarray], r_pad: int, f_pad: int, n_var: int
+) -> Dict[str, np.ndarray]:
+    """Grow a packed chunk's read/pair matrices to (r_pad, f_pad) columns.
+
+    Used by the multi-device engine: every shard of a chunk must carry
+    identical pad geometry so the stacked [D, ...] arrays are rectangular.
+    Padding rows keep the trash-segment convention (var == n_var; pair
+    tids == -1).
+    """
+    def grow(m: np.ndarray, pad: int) -> np.ndarray:
+        if m.shape[1] == pad:
+            return m
+        out = np.zeros((m.shape[0], pad), dtype=m.dtype)
+        out[:, : m.shape[1]] = m
+        return out
+
+    out = dict(packed)
+    old_r = packed["r_i32"].shape[1]
+    old_f = packed["p_i32"].shape[1]
+    out["r_i32"] = grow(packed["r_i32"], r_pad)
+    out["r_u8"] = grow(packed["r_u8"], r_pad)
+    out["p_i32"] = grow(packed["p_i32"], f_pad)
+    out["p_i16"] = grow(packed["p_i16"], f_pad)
+    out["p_u8"] = grow(packed["p_u8"], f_pad)
+    if r_pad > old_r:
+        out["r_i32"][0, old_r:] = n_var
+    if f_pad > old_f:
+        out["p_i32"][0, old_f:] = n_var
+        out["p_i32"][5, old_f:] = -1
+        out["p_i32"][6, old_f:] = -1
+    return out
+
+
 def _bucket(n: int, floor: int = 256) -> int:
     """Smallest 2^k or 1.5·2^k ≥ n: at most 25% padding waste (vs 50%
     for pure powers of two) at twice the compile-cache entries."""

@@ -13,7 +13,6 @@ golden tests), float32 otherwise (TPU throughput runs).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Dict, List, Optional
 
@@ -23,7 +22,11 @@ import numpy as np
 
 from svtyper_tpu.breakpoints import Breakpoint
 from svtyper_tpu.evidence.device import classify, unpack_chunk
-from svtyper_tpu.evidence.extract import pack_chunk, prepare_chunk
+from svtyper_tpu.evidence.extract import (
+    pack_chunk,
+    prepare_chunk,
+    repad_packed,
+)
 from svtyper_tpu.models.bayes import GT_STRINGS, GenotypeResult
 from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
 from svtyper_tpu.stats.library import Sample
@@ -49,6 +52,7 @@ class TpuEngine:
         max_reads: Optional[int] = None,
         max_ci_dist: float = 1e10,
         chunk_size: int = 1024,
+        devices: Optional[list] = None,
     ) -> None:
         self.samples = samples
         self.min_aligned = min_aligned
@@ -56,6 +60,20 @@ class TpuEngine:
         self.disc_weight = disc_weight
         self.max_reads = max_reads
         self.max_ci_dist = max_ci_dist
+        # multi-chip: shard each chunk's variants across the local
+        # devices via shard_map (SURVEY.md §2.1 TPU-native equivalents);
+        # single device keeps the plain jit path. local_devices, not
+        # devices: under jax.distributed each process drives only its
+        # own chips (variant sharding across hosts is parallel/multihost)
+        if devices is None:
+            devices = jax.local_devices()
+        self.devices = list(devices)
+        self.n_dev = len(self.devices)
+        if self.n_dev > 1:
+            chunk_size = -(-chunk_size // self.n_dev) * self.n_dev
+            self.mesh = jax.sharding.Mesh(
+                np.asarray(self.devices), axis_names=("data",)
+            )
         self.chunk_size = chunk_size
         self._use_f64 = jax.config.jax_enable_x64
         self.dtype = jnp.float64 if self._use_f64 else jnp.float32
@@ -63,6 +81,7 @@ class TpuEngine:
             log_choose_table(MAX_N_TABLE, use_f64=self._use_f64)
         )
         self._dens_cache: Dict[int, jnp.ndarray] = {}
+        self._dens_stack_cache: Dict[int, jnp.ndarray] = {}
         self._step = self._build_step()
         self._hw_reads = 0
         self._hw_pairs = 0
@@ -91,7 +110,6 @@ class TpuEngine:
         dtype = self.dtype
         use_pallas = self._use_pallas()
 
-        @functools.partial(jax.jit, static_argnames=("n_var",))
         def step(r32, r8, p32, p16, p8, v32, v8, dens, lcf, n_var):
             reads, pairs, variants = unpack_chunk(
                 r32, r8, p32, p16, p8, v32, v8
@@ -150,7 +168,30 @@ class TpuEngine:
             )
             return jnp.concatenate([ints, flts], axis=1)
 
-        return step
+        if self.n_dev > 1:
+            from jax.sharding import PartitionSpec as P
+
+            from svtyper_tpu.parallel.mesh import shard_map
+
+            n_shard = self.chunk_size // self.n_dev
+
+            def local(r32, r8, p32, p16, p8, v32, v8, dens, lcf):
+                # shard_map blocks keep the leading device axis (size 1)
+                return step(
+                    r32[0], r8[0], p32[0], p16[0], p8[0], v32[0], v8[0],
+                    dens[0], lcf, n_shard,
+                )[None]
+
+            dspec = P("data")
+            return jax.jit(
+                shard_map(
+                    local,
+                    mesh=self.mesh,
+                    in_specs=(dspec,) * 8 + (P(),),
+                    out_specs=dspec,
+                )
+            )
+        return jax.jit(step, static_argnames=("n_var",))
 
     def _dens_for(self, sample_idx: int) -> jnp.ndarray:
         d = self._dens_cache.get(sample_idx)
@@ -179,6 +220,9 @@ class TpuEngine:
             bps = list(bps) + [None] * (self.chunk_size - len(bps))
         arrs = []
         for si, sample in enumerate(self.samples):
+            if self.n_dev > 1:
+                arrs.append(self._dispatch_sharded(si, sample, bps))
+                continue
             chunk = prepare_chunk(
                 sample,
                 bps,
@@ -216,9 +260,77 @@ class TpuEngine:
         self.stats["variants"] += n_real
         return arrs
 
+    def _dispatch_sharded(self, si: int, sample: Sample, bps):
+        """Multi-chip dispatch: the chunk's variants are split into
+        ``n_dev`` contiguous shards; each device runs the identical
+        fused step on its shard (shard_map over the 'data' mesh axis;
+        no cross-device traffic — per-variant work is independent and
+        the output gather rides the mesh when the caller reads it)."""
+        n_shard = self.chunk_size // self.n_dev
+        shards = []
+        for d in range(self.n_dev):
+            chunk = prepare_chunk(
+                sample,
+                bps[d * n_shard : (d + 1) * n_shard],
+                min_aligned=self.min_aligned,
+                max_reads=self.max_reads,
+                max_ci_dist=self.max_ci_dist,
+                pad_reads=self._hw_reads,
+                pad_pairs=self._hw_pairs,
+            )
+            shards.append(chunk)
+            self.stats["reads"] += int(
+                np.count_nonzero(chunk.reads["var"] < chunk.n_var)
+            )
+            self.stats["pairs"] += int(
+                np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
+            )
+        # rectangular stacking: every shard must carry the chunk's max
+        # pad geometry (high-water carried across chunks)
+        r_pad = max(len(c.reads["var"]) for c in shards)
+        f_pad = max(len(c.pairs["var"]) for c in shards)
+        self._hw_reads = max(self._hw_reads, r_pad)
+        self._hw_pairs = max(self._hw_pairs, f_pad)
+        packeds = [
+            repad_packed(
+                c.packed or pack_chunk(c), r_pad, f_pad, c.n_var
+            )
+            for c in shards
+        ]
+        stacks = {
+            k: np.stack([p[k] for p in packeds])
+            for k in ("r_i32", "r_u8", "p_i32", "p_i16", "p_u8",
+                      "v_i32", "v_u8")
+        }
+        return self._step(
+            jnp.asarray(stacks["r_i32"]),
+            jnp.asarray(stacks["r_u8"]),
+            jnp.asarray(stacks["p_i32"]),
+            jnp.asarray(stacks["p_i16"]),
+            jnp.asarray(stacks["p_u8"]),
+            jnp.asarray(stacks["v_i32"]),
+            jnp.asarray(stacks["v_u8"]),
+            self._dens_stack_for(si),
+            self._lcf,
+        )
+
+    def _dens_stack_for(self, si: int) -> jnp.ndarray:
+        d = self._dens_stack_cache.get(si)
+        if d is None:
+            one = self._dens_for(si)
+            d = jnp.broadcast_to(one[None], (self.n_dev,) + one.shape)
+            self._dens_stack_cache[si] = d
+        return d
+
     def _collect(self, n_bps: int, arrs) -> List[List[GenotypeResult]]:
         t0 = time.time()
         per_sample = [np.asarray(a) for a in arrs]  # sync point
+        if self.n_dev > 1:
+            # [D, n_shard, 24] → [chunk_size, 24] (shards are contiguous
+            # variant slices, so a plain reshape restores input order)
+            per_sample = [
+                a.reshape(-1, a.shape[-1]) for a in per_sample
+            ]
         self.stats["sync_s"] += time.time() - t0
         return [
             [_to_result(ps, vi) for ps in per_sample]
@@ -260,6 +372,35 @@ class TpuEngine:
 
 
 _NI = len(INT_FIELDS)
+ROW_WIDTH = _NI + 10  # int fields + (gl0 gl1 gl2 sq ab c0..c4)
+
+
+def result_to_row(r: Optional[GenotypeResult]) -> np.ndarray:
+    """Inverse of ``_to_result``: fixed-width float64 row for the
+    cross-host gather (parallel/multihost). None encodes as null."""
+    row = np.zeros(ROW_WIDTH, dtype=np.float64)
+    if r is None:
+        row[_I["null"]] = 1.0
+        return row
+    row[_I["qr"]], row[_I["qa"]] = r.qr, r.qa
+    if r.counts is not None:
+        row[_NI + 5 : _NI + 10] = r.counts
+    if r.null:
+        row[_I["null"]] = 1.0
+        return row
+    row[_I["gt_idx"]] = r.gt_idx
+    row[_I["gq"]] = r.gq
+    row[_NI + 0 : _NI + 3] = r.gl
+    row[_NI + 3] = r.sq
+    if r.ab is not None:
+        row[_I["ab_valid"]] = 1.0
+        row[_NI + 4] = r.ab
+    return row
+
+
+def row_to_result(row: np.ndarray) -> GenotypeResult:
+    """Decode one fixed-width row (see ``result_to_row``)."""
+    return _to_result(row[None], 0)
 
 
 def _to_result(packed: np.ndarray, i: int) -> GenotypeResult:

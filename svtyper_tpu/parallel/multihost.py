@@ -76,8 +76,11 @@ def initialize_from_env(
 def allgather_rows(rows: np.ndarray) -> List[np.ndarray]:
     """Cross-host gather of this host's fixed-width result rows.
 
-    Uses ``multihost_utils.process_allgather`` (DCN); on a single
-    process it degenerates to the identity.
+    Shards differ in length by up to one variant, so lengths are
+    allgathered first and every shard pads to the max before the array
+    gather (``multihost_utils.process_allgather`` needs equal shapes;
+    the collective rides DCN). Returns one unpadded array per process,
+    in process order. Single process degenerates to the identity.
     """
     import jax
 
@@ -85,5 +88,14 @@ def allgather_rows(rows: np.ndarray) -> List[np.ndarray]:
         return [rows]
     from jax.experimental import multihost_utils
 
-    gathered = multihost_utils.process_allgather(rows, tiled=False)
-    return [np.asarray(g) for g in gathered]
+    n_mine = np.asarray(rows.shape[0], dtype=np.int64)
+    ns = np.asarray(
+        multihost_utils.process_allgather(n_mine, tiled=False)
+    ).reshape(-1)
+    m = int(ns.max()) if len(ns) else 0
+    padded = np.zeros((m,) + rows.shape[1:], dtype=rows.dtype)
+    padded[: rows.shape[0]] = rows
+    gathered = np.asarray(
+        multihost_utils.process_allgather(padded, tiled=False)
+    )
+    return [gathered[i, : int(ns[i])] for i in range(len(ns))]

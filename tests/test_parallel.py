@@ -83,3 +83,59 @@ def test_graft_entry_single_and_multi():
     assert not out["null"].any()
     g.dryrun_multichip(8)
     g.dryrun_multichip(4)
+
+
+def test_engine_multidevice_byte_identical(tmp_path):
+    """TpuEngine on the 8-device mesh ≡ single-device engine, end to end
+    through the CLI formatting layer (VERDICT task: multi-chip in the
+    production engine, not a demo step)."""
+    import io
+
+    from svtyper_tpu.bamio.bam import BamFile
+    from svtyper_tpu.breakpoints import resolve_breakpoint
+    from svtyper_tpu.gt import TpuEngine
+    from svtyper_tpu.output import add_format_headers, apply_variant
+    from svtyper_tpu.simulate import (
+        Event, SimConfig, events_to_vcf, simulate_events,
+    )
+    from svtyper_tpu.stats import Sample
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+    from svtyper_tpu.vcfio.reader import read_vcf_lines
+
+    refs = [("chr1", 4_000_000)]
+    events = [
+        Event("DEL", "chr1", 300_000 + i * 250_000,
+              300_000 + i * 250_000 + 1500 + 97 * i,
+              ["0/0", "0/1", "1/1"][i % 3], var_id="v%d" % i)
+        for i in range(13)  # not a multiple of 8: exercises padding
+    ]
+    bam_path = str(tmp_path / "md.bam")
+    simulate_events(bam_path, refs, events, SimConfig(depth=30), seed=9,
+                    extra_background=1000)
+    sample = Sample.from_bam(BamFile(bam_path), num_samp=50_000)
+    vcf = Vcf()
+    header, body = read_vcf_lines(io.StringIO(events_to_vcf(events, refs)))
+    vcf.add_header(header)
+    add_format_headers(vcf)
+    vcf.add_sample(sample.name)
+    variants = [Variant(line, vcf) for line in body]
+    bps = [resolve_breakpoint(v) for v in variants]
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    multi = TpuEngine([sample], chunk_size=8)   # 13 vars → 2 chunks
+    single = TpuEngine([sample], chunk_size=8,
+                       devices=jax.devices()[:1])
+    assert multi.n_dev == 8 and single.n_dev == 1
+    rows_m = multi.genotype_all(bps)
+    rows_s = single.genotype_all(bps)
+
+    def render(rows):
+        out = []
+        for v, row in zip(variants, rows):
+            apply_variant(v, [sample.name], row)
+            out.append(v.get_var_string())
+        return "\n".join(out)
+
+    assert render(rows_m) == render(rows_s)
+    called = sum(1 for r in rows_m if not r[0].null)
+    assert called == len(bps)
