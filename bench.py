@@ -192,19 +192,21 @@ def _measure():
     engine.genotype_all(bps)  # settle high-water buckets end-to-end
     for k in engine.stats:
         engine.stats[k] = 0
+    # one continuous stream (the fixture tiled to >= min_measured), so
+    # the prep/send/collect pipeline stays full across the whole window
+    stream = bps * passes
     t0 = time.time()
-    for _ in range(passes):
-        results = engine.genotype_all(bps)
+    results = engine.genotype_all(stream)
     dt = time.time() - t0
-    n_measured = passes * len(bps)
+    n_measured = len(stream)
     tpu_vps = n_measured / dt
-    n_called = sum(1 for row in results if not row[0].null)
+    n_called = sum(1 for row in results[: len(bps)] if not row[0].null)
     st = engine.stats
     sys.stderr.write(
         "tpu engine: %.2f variants/s (%d variants in %.1fs over %d passes;"
-        " prep %.2fs, sync %.2fs; %d/%d called)\n"
-        % (tpu_vps, n_measured, dt, passes, st["prep_s"], st["sync_s"],
-           n_called, len(bps))
+        " prep %.2fs, send %.2fs, sync %.2fs; %d/%d called)\n"
+        % (tpu_vps, n_measured, dt, passes, st["prep_s"], st["send_s"],
+           st["sync_s"], n_called, len(bps))
     )
 
     print(
@@ -218,6 +220,7 @@ def _measure():
                 "n_measured": n_measured,
                 "chunk_size": chunk,
                 "prep_s": round(st["prep_s"], 3),
+                "send_s": round(st["send_s"], 3),
                 "sync_s": round(st["sync_s"], 3),
             }
         )

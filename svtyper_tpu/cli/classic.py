@@ -347,10 +347,11 @@ def sv_genotype(
         dt = time.time() - t_gt
         sys.stderr.write(
             "summary: %d variants in %.2fs (%.1f variants/s) | "
-            "%d reads, %d pairs, %d chunks | prep %.2fs, device-sync %.2fs\n"
+            "%d reads, %d pairs, %d chunks | prep %.2fs, send %.2fs, "
+            "device-sync %.2fs\n"
             % (st["variants"], dt, st["variants"] / dt if dt > 0 else 0.0,
                st["reads"], st["pairs"], st["chunks"],
-               st["prep_s"], st["sync_s"])
+               st["prep_s"], st["send_s"], st["sync_s"])
         )
 
 

@@ -87,7 +87,8 @@ class TpuEngine:
         self._hw_pairs = 0
         # per-stage wall-time observability (SURVEY.md §5)
         self.stats = {
-            "prep_s": 0.0,   # host: fetch + layout + dispatch
+            "prep_s": 0.0,   # host: fetch + layout (prep thread)
+            "send_s": 0.0,   # host→device transfer + dispatch enqueue
             "sync_s": 0.0,   # device execution exposed at the sync point
             "reads": 0,
             "pairs": 0,
@@ -209,8 +210,11 @@ class TpuEngine:
             self._dens_cache[sample_idx] = d
         return d
 
-    def _dispatch(self, bps: List[Optional[Breakpoint]]):
-        """Host prep + async device dispatch (no sync) for one chunk."""
+    def _prepare(self, bps: List[Optional[Breakpoint]]):
+        """Host-only stage: fetch + layout for one chunk → per-sample
+        packed payloads. Runs on a single prep thread (the native chunk
+        arena is one-in-flight per BAM handle); the C++ decode inside
+        releases the GIL and fans out over its own threads."""
         t0 = time.time()
         n_real = len(bps)
         # constant chunk geometry: pad short chunks with absent variants
@@ -218,10 +222,10 @@ class TpuEngine:
         # the largest shapes have been seen
         if len(bps) < self.chunk_size:
             bps = list(bps) + [None] * (self.chunk_size - len(bps))
-        arrs = []
+        payloads = []
         for si, sample in enumerate(self.samples):
             if self.n_dev > 1:
-                arrs.append(self._dispatch_sharded(si, sample, bps))
+                payloads.append(self._prepare_sharded(sample, bps))
                 continue
             chunk = prepare_chunk(
                 sample,
@@ -234,38 +238,22 @@ class TpuEngine:
             )
             self._hw_reads = max(self._hw_reads, len(chunk.reads["var"]))
             self._hw_pairs = max(self._hw_pairs, len(chunk.pairs["var"]))
-            packed = chunk.packed or pack_chunk(chunk)
-            arrs.append(
-                self._step(
-                    jnp.asarray(packed["r_i32"]),
-                    jnp.asarray(packed["r_u8"]),
-                    jnp.asarray(packed["p_i32"]),
-                    jnp.asarray(packed["p_i16"]),
-                    jnp.asarray(packed["p_u8"]),
-                    jnp.asarray(packed["v_i32"]),
-                    jnp.asarray(packed["v_u8"]),
-                    self._dens_for(si),
-                    self._lcf,
-                    n_var=chunk.n_var,
-                )
-            )
             self.stats["reads"] += int(
                 np.count_nonzero(chunk.reads["var"] < chunk.n_var)
             )
             self.stats["pairs"] += int(
                 np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
             )
+            payloads.append((chunk.packed or pack_chunk(chunk), chunk.n_var))
         self.stats["prep_s"] += time.time() - t0
         self.stats["chunks"] += 1
         self.stats["variants"] += n_real
-        return arrs
+        return payloads
 
-    def _dispatch_sharded(self, si: int, sample: Sample, bps):
-        """Multi-chip dispatch: the chunk's variants are split into
-        ``n_dev`` contiguous shards; each device runs the identical
-        fused step on its shard (shard_map over the 'data' mesh axis;
-        no cross-device traffic — per-variant work is independent and
-        the output gather rides the mesh when the caller reads it)."""
+    def _prepare_sharded(self, sample: Sample, bps):
+        """Multi-chip prep: split the chunk's variants into ``n_dev``
+        contiguous shards with identical pad geometry and stack them
+        into rectangular [D, ...] arrays."""
         n_shard = self.chunk_size // self.n_dev
         shards = []
         for d in range(self.n_dev):
@@ -285,8 +273,6 @@ class TpuEngine:
             self.stats["pairs"] += int(
                 np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
             )
-        # rectangular stacking: every shard must carry the chunk's max
-        # pad geometry (high-water carried across chunks)
         r_pad = max(len(c.reads["var"]) for c in shards)
         f_pad = max(len(c.pairs["var"]) for c in shards)
         self._hw_reads = max(self._hw_reads, r_pad)
@@ -302,17 +288,41 @@ class TpuEngine:
             for k in ("r_i32", "r_u8", "p_i32", "p_i16", "p_u8",
                       "v_i32", "v_u8")
         }
-        return self._step(
-            jnp.asarray(stacks["r_i32"]),
-            jnp.asarray(stacks["r_u8"]),
-            jnp.asarray(stacks["p_i32"]),
-            jnp.asarray(stacks["p_i16"]),
-            jnp.asarray(stacks["p_u8"]),
-            jnp.asarray(stacks["v_i32"]),
-            jnp.asarray(stacks["v_u8"]),
-            self._dens_stack_for(si),
-            self._lcf,
-        )
+        return (stacks, None)
+
+    def _send(self, payloads):
+        """Device stage: host→device transfer + async step dispatch
+        (no sync). Runs on the main thread — the device execution
+        itself is asynchronous, so chunk k computes while chunk k+1
+        preps and chunk k-1 collects."""
+        t0 = time.time()
+        arrs = []
+        for si, (packed, n_var) in enumerate(payloads):
+            args = (
+                jnp.asarray(packed["r_i32"]),
+                jnp.asarray(packed["r_u8"]),
+                jnp.asarray(packed["p_i32"]),
+                jnp.asarray(packed["p_i16"]),
+                jnp.asarray(packed["p_u8"]),
+                jnp.asarray(packed["v_i32"]),
+                jnp.asarray(packed["v_u8"]),
+            )
+            if self.n_dev > 1:
+                arrs.append(
+                    self._step(*args, self._dens_stack_for(si), self._lcf)
+                )
+            else:
+                arrs.append(
+                    self._step(
+                        *args, self._dens_for(si), self._lcf, n_var=n_var
+                    )
+                )
+        self.stats["send_s"] += time.time() - t0
+        return arrs
+
+    def _dispatch(self, bps: List[Optional[Breakpoint]]):
+        """Prep + send for one chunk (the synchronous entry point)."""
+        return self._send(self._prepare(bps))
 
     def _dens_stack_for(self, si: int) -> jnp.ndarray:
         d = self._dens_stack_cache.get(si)
@@ -346,28 +356,50 @@ class TpuEngine:
     def genotype_all(
         self, bps: List[Optional[Breakpoint]]
     ) -> List[List[GenotypeResult]]:
-        """Pipelined two ways: the device dispatch is async, so chunk k
-        runs on the TPU while chunk k+1's host prep proceeds; and the
-        device→host sync + result unpack (``_collect``) runs on a
-        collector thread, overlapping the next chunk's fetch/layout
-        (whose C++ decode releases the GIL)."""
+        """Three-stage pipeline: a prep thread runs fetch+layout for
+        chunk k+1 while the main thread transfers/dispatches chunk k
+        (async on device) and a collector thread syncs + unpacks chunk
+        k-1. In-flight device chunks are bounded, so device buffers
+        stay O(1) regardless of variant count and collect errors
+        surface at the next dispatch."""
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        futures = []
-        results = []
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            for lo in range(0, len(bps), self.chunk_size):
-                # bound the backlog at 2 in-flight chunks: device input and
-                # output buffers stay O(1) regardless of variant count, and
-                # a collect error surfaces at the next dispatch, not after
-                # every chunk has shipped
-                if len(futures) >= 2:
-                    results.extend(futures.pop(0).result())
-                chunk = bps[lo : lo + self.chunk_size]
-                arrs = self._dispatch(chunk)
-                futures.append(pool.submit(self._collect, len(chunk), arrs))
-            for f in futures:
-                results.extend(f.result())
+        chunks = [
+            bps[lo : lo + self.chunk_size]
+            for lo in range(0, len(bps), self.chunk_size)
+        ]
+        results: List[List[GenotypeResult]] = []
+        with ThreadPoolExecutor(max_workers=1) as prep_pool, \
+                ThreadPoolExecutor(max_workers=1) as collect_pool:
+            preps: deque = deque()
+            collects: deque = deque()
+            pi = 0
+
+            def pump():
+                nonlocal pi
+                while pi < len(chunks) and len(preps) < 2:
+                    preps.append(
+                        (
+                            len(chunks[pi]),
+                            prep_pool.submit(self._prepare, chunks[pi]),
+                        )
+                    )
+                    pi += 1
+
+            pump()
+            while preps:
+                n_real, f = preps.popleft()
+                payloads = f.result()
+                pump()
+                arrs = self._send(payloads)
+                collects.append(
+                    collect_pool.submit(self._collect, n_real, arrs)
+                )
+                while len(collects) >= 3:
+                    results.extend(collects.popleft().result())
+            while collects:
+                results.extend(collects.popleft().result())
         return results
 
 
