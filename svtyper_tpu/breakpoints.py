@@ -113,6 +113,103 @@ def fetch_windows(bp: Breakpoint, flank: int) -> list:
     return wins
 
 
+class _BndMeta:
+    __slots__ = ("idx", "chrom", "pos", "alt", "cipos", "ciend",
+                 "secondary", "mate_id")
+
+    def __init__(self, idx, chrom, pos, alt, cipos, ciend, secondary,
+                 mate_id):
+        self.idx = idx
+        self.chrom = chrom
+        self.pos = pos
+        self.alt = alt
+        self.cipos = cipos
+        self.ciend = ciend
+        self.secondary = secondary
+        self.mate_id = mate_id
+
+
+class BndRegistry:
+    """Mate-aware BND resolution (SURVEY.md §3.2; SPEC.md §8.8).
+
+    A cheap pre-scan of the VCF body records every BND's coordinates,
+    ALT brackets, CIPOS and SECONDARY/MATEID flags. ``resolve`` then
+    maps BOTH records of a breakend pair to one shared ``Breakpoint``,
+    anchored at the event's primary record (the non-SECONDARY one; ties
+    broken by input order), with the B-side confidence interval sourced
+    from the mate record's own CIPOS — the reference genotypes a BND
+    pair once, when the second record arrives, using each record's own
+    CIPOS for its side of the event (``classic.py`` breakend cache,
+    SURVEY §3.2 [MUST-VERIFY]). Breakends whose mate is absent from the
+    file fall back to standalone resolution (own CIEND, else CIPOS).
+    """
+
+    def __init__(self) -> None:
+        self._meta: dict = {}
+        self._bp_cache: dict = {}
+
+    def scan(self, body_lines) -> None:
+        for idx, line in enumerate(body_lines):
+            cols = line.split("\t", 8)
+            if len(cols) < 8 or "SVTYPE=BND" not in cols[7]:
+                continue
+            cipos = ciend = None
+            secondary = False
+            mate_id = None
+            for field in cols[7].split(";"):
+                if field.startswith("CIPOS="):
+                    cipos = field[6:]
+                elif field.startswith("CIEND="):
+                    ciend = field[6:]
+                elif field.startswith("MATEID="):
+                    mate_id = field[7:]
+                elif field == "SECONDARY" or field.startswith("SECONDARY="):
+                    secondary = True
+            self._meta[cols[2]] = _BndMeta(
+                idx, cols[0], int(cols[1]), cols[4], cipos, ciend,
+                secondary, mate_id,
+            )
+
+    def mate_known(self, var_id: str) -> bool:
+        me = self._meta.get(var_id)
+        return bool(
+            me and me.mate_id is not None and me.mate_id in self._meta
+        )
+
+    def _bp_from_meta(
+        self, anchor: "_BndMeta", other: "_BndMeta"
+    ) -> Optional[Breakpoint]:
+        parsed = parse_bnd_alt(anchor.alt)
+        if parsed is None:
+            return None
+        chrom_b, pos_b, o1_rev, o2_rev = parsed
+        return Breakpoint(
+            "BND", anchor.chrom, anchor.pos - 1, parse_ci(anchor.cipos),
+            chrom_b, pos_b, parse_ci(other.cipos), o1_rev, o2_rev, None,
+        )
+
+    def resolve(self, var: Variant) -> Optional[Breakpoint]:
+        """Shared-anchor resolution for BNDs; plain for everything else."""
+        if var.get_info("SVTYPE") != "BND":
+            return resolve_breakpoint(var)
+        me = self._meta.get(var.var_id)
+        mate = self._meta.get(me.mate_id) if me and me.mate_id else None
+        if me is None or mate is None:
+            return resolve_breakpoint(var)
+        key = (min(var.var_id, me.mate_id), max(var.var_id, me.mate_id))
+        if key in self._bp_cache:
+            return self._bp_cache[key]
+        if me.secondary != mate.secondary:
+            anchor, other = (mate, me) if me.secondary else (me, mate)
+        else:
+            anchor, other = (me, mate) if me.idx <= mate.idx else (mate, me)
+        bp = self._bp_from_meta(anchor, other)
+        if bp is None:  # unparseable anchor ALT: fall back per record
+            return resolve_breakpoint(var)
+        self._bp_cache[key] = bp
+        return bp
+
+
 def resolve_breakpoint(var: Variant) -> Optional[Breakpoint]:
     """None for unsupported SVTYPEs (record passes through un-genotyped)."""
     svtype = var.get_info("SVTYPE")

@@ -15,7 +15,7 @@ import time
 from typing import IO, List, Optional
 
 from svtyper_tpu.bamio.bam import BamFile
-from svtyper_tpu.breakpoints import resolve_breakpoint
+from svtyper_tpu.breakpoints import BndRegistry
 from svtyper_tpu.output import add_format_headers, apply_variant
 from svtyper_tpu.stats import Sample
 from svtyper_tpu.vcfio.model import Variant, Vcf
@@ -185,6 +185,15 @@ def sv_genotype(
     for name in sample_names:
         vcf.add_sample(name)
 
+    # BND mate registry (SURVEY.md §3.2): a pre-scan of the body maps
+    # both records of each breakend pair to ONE shared breakpoint,
+    # anchored at the primary (non-SECONDARY) record with the B-side CI
+    # from the mate's CIPOS. Requires materializing the body (the
+    # registry must see mates that appear after the current record).
+    body = list(body)
+    registry = BndRegistry()
+    registry.scan(body)
+
     if n_procs > 1:
         # phase 1 (every process): genotype this host's contiguous
         # variant slice; ship fixed-width rows through the collective
@@ -197,7 +206,6 @@ def sv_genotype(
         )
         from svtyper_tpu.parallel.multihost import merge_ordered
 
-        body = list(body)
         slices = shard_slices(len(body), n_procs)
         lo, hi = slices[proc_id]
         rows_flat: List = []
@@ -205,7 +213,10 @@ def sv_genotype(
             chunk_vars = [
                 Variant(line, vcf) for line in body[c0 : min(c0 + batch_size, hi)]
             ]
-            bps_chunk = [resolve_breakpoint(v) for v in chunk_vars]
+            # registry.resolve gives BOTH mates of a BND pair the same
+            # anchor breakpoint, so hosts compute identical rows even
+            # when a pair straddles a shard boundary
+            bps_chunk = [registry.resolve(v) for v in chunk_vars]
             rows_flat.extend(run_chunk(bps_chunk))
         arr = np.zeros(
             (len(rows_flat), len(sample_names), ROW_WIDTH), dtype=np.float64
@@ -256,10 +267,13 @@ def sv_genotype(
     chunk_idx = 0
     t_gt = time.time()
     pending: List[Variant] = []
-    # BND mate pairing (SPEC.md §2): genotype once per MATEID pair, copy
-    # the result row to the mate when it appears (records stay in input
-    # order; unpaired breakends are genotyped independently)
+    # BND mate pairing (SPEC.md §2, §8.8): each breakend event is
+    # genotyped ONCE — at the first-arriving record's slot, with the
+    # registry's shared anchor breakpoint — and the result row is
+    # copied to the mate when it appears (records stay in input order;
+    # unpaired breakends are genotyped independently)
     bnd_results: dict = {}
+    bnd_computed: set = set()
 
     def flush():
         nonlocal n_done, chunk_idx
@@ -279,15 +293,24 @@ def sv_genotype(
                 n_done += len(pending)
                 pending.clear()
                 return
-        bps = [resolve_breakpoint(v) for v in pending]
+        bps = [registry.resolve(v) for v in pending]
         for v, bp in zip(pending, bps):
             if bp is None:
-                svt = v.get_info("SVTYPE")
                 sys.stderr.write(
                     "Warning: skipping variant %s, SVTYPE %s not supported\n"
-                    % (v.var_id, svt)
+                    % (v.var_id, v.get_info("SVTYPE"))
                 )
-        rows = run_chunk(bps)
+        # skip evidence work for the second record of an already-
+        # computed breakend event: its row is copied from the mate
+        run_bps = list(bps)
+        for i, (v, bp) in enumerate(zip(pending, bps)):
+            if bp is not None and bp.svtype == "BND":
+                mate_id = v.get_info("MATEID")
+                if mate_id and mate_id in bnd_computed:
+                    run_bps[i] = None
+                else:
+                    bnd_computed.add(v.var_id)
+        rows = run_chunk(run_bps)
         out_lines: List[str] = []
         for v, bp, res_row in zip(pending, bps, rows):
             if bp is None:
@@ -297,7 +320,8 @@ def sv_genotype(
                 mate_id = v.get_info("MATEID")
                 if mate_id and mate_id in bnd_results:
                     res_row = bnd_results.pop(mate_id)
-                else:
+                    bnd_computed.discard(mate_id)
+                elif mate_id and registry.mate_known(v.var_id):
                     bnd_results[v.var_id] = res_row
             apply_variant(v, sample_names, res_row, sum_quals=sum_quals)
             if debug:
@@ -331,7 +355,9 @@ def sv_genotype(
     from svtyper_tpu.parallel.multihost import shard_slices
 
     if num_shards > 1:
-        body = list(body)
+        # the BND registry was built from the FULL body above, so a
+        # breakend pair straddling a shard boundary still resolves to
+        # the same anchor breakpoint on both shards
         lo, hi = shard_slices(len(body), num_shards)[shard_index]
         body = body[lo:hi]
 
