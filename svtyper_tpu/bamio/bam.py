@@ -67,7 +67,8 @@ class FineIndex:
 
 
 class BamFile:
-    def __init__(self, path: str, use_native: Optional[bool] = None) -> None:
+    def __init__(self, path: str, use_native: Optional[bool] = None,
+                 threads: Optional[int] = None) -> None:
         self.path = path
         # native C++ decoder unless disabled (env SVT_NO_NATIVE=1) or
         # unavailable; falls back to the pure-Python decoder either way
@@ -76,8 +77,11 @@ class BamFile:
         self._use_native = use_native
         self._native = None
         self._native_failed = False
-        self._threads = int(os.environ.get("SVT_THREADS", "0")) or (
-            2 if (os.cpu_count() or 1) >= 2 else 1
+        # decode-thread fan-out: explicit arg (CLI --cores) > env > auto
+        self._threads = (
+            threads
+            or int(os.environ.get("SVT_THREADS", "0"))
+            or (2 if (os.cpu_count() or 1) >= 2 else 1)
         )
         self._reader = BgzfReader(path)
         vs = VirtualStream(self._reader)

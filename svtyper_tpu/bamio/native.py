@@ -161,8 +161,28 @@ def get_lib():
             C.POINTER(C.c_int64),
             C.POINTER(C.c_int64),
         ]
+        lib.svt_perf.restype = None
+        lib.svt_perf.argtypes = [C.POINTER(C.c_int64)]
         _lib = lib
         return _lib
+
+
+def perf_counters() -> dict:
+    """Drain the native perf counters: inflate wall-seconds, blocks
+    inflated, worker wall-seconds (summed across decode threads),
+    block-cache hits."""
+    lib = get_lib()
+    if lib is None:
+        return {"inflate_s": 0.0, "blocks": 0, "worker_s": 0.0,
+                "cache_hits": 0}
+    out = (C.c_int64 * 4)()
+    lib.svt_perf(out)
+    return {
+        "inflate_s": out[0] / 1e9,
+        "blocks": int(out[1]),
+        "worker_s": out[2] / 1e9,
+        "cache_hits": int(out[3]),
+    }
 
 
 _COL_DTYPES = [

@@ -98,6 +98,7 @@ def sv_genotype(
     checkpoint_dir: Optional[str] = None,
     num_shards: int = 1,
     shard_index: int = 0,
+    cores: Optional[int] = None,
 ) -> None:
     """Library entry point (parity of ``classic.py::sv_genotype``)."""
     t0 = time.time()
@@ -134,7 +135,9 @@ def sv_genotype(
     else:
         proc_id, n_procs = 0, 1
     bam_paths = [b for b in bam_string.split(",") if b]
-    bams = [BamFile(p) for p in bam_paths]
+    # --cores drives the native decoder's per-fetch thread fan-out (the
+    # role of the reference sso's fork pool: host-side parallelism)
+    bams = [BamFile(p, threads=cores) for p in bam_paths]
 
     # Samples: JSON cache if it exists, else head-scan (then save cache)
     samples: List[Sample] = []
@@ -413,6 +416,7 @@ def main(argv=None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             num_shards=args.num_shards,
             shard_index=args.shard_index,
+            cores=args.cores,
         )
     finally:
         if profile_ctx is not None:
