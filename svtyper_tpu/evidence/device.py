@@ -98,6 +98,7 @@ def classify(
     n_var: int,
     min_aligned: int,
     dtype=jnp.float32,
+    rows_sorted: bool = False,
 ) -> jnp.ndarray:
     """→ counts [n_var, 5]: ref_seq, alt_seq, alt_clip, ref_span, alt_span."""
     nseg = n_var + 1  # trailing trash segment for padding rows
@@ -165,7 +166,13 @@ def classify(
     alt_clip_c = jnp.where(clip_hit, pm, 0.0)
 
     counts_read = jnp.stack([ref_seq_c, alt_seq_c, alt_clip_c], axis=1)
-    per_var_read = jax.ops.segment_sum(counts_read, rv, num_segments=nseg)
+    # the engine's chunks group rows by ascending variant (padding rows
+    # carry var == n_var at the tail): rows_sorted=True then unlocks the
+    # sorted segment-sum lowering. Synthetic/direct callers may pass
+    # arbitrary row order with the default False.
+    per_var_read = jax.ops.segment_sum(
+        counts_read, rv, num_segments=nseg, indices_are_sorted=rows_sorted
+    )
 
     # ---- §4.3 read pairs (self-contained rows: both mates' fields
     # were materialized on host — no gathers into the reads table)
@@ -228,7 +235,9 @@ def classify(
     ref_span_c = ref_span_c - del_move
 
     counts_pair = jnp.stack([ref_span_c, alt_span_c], axis=1)
-    per_var_pair = jax.ops.segment_sum(counts_pair, pv, num_segments=nseg)
+    per_var_pair = jax.ops.segment_sum(
+        counts_pair, pv, num_segments=nseg, indices_are_sorted=rows_sorted
+    )
 
     # [n_var, 5]: ref_seq, alt_seq, alt_clip, ref_span, alt_span
     out = jnp.concatenate(

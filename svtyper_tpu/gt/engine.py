@@ -33,6 +33,27 @@ from svtyper_tpu.stats.library import Sample
 
 MAX_N_TABLE = 1 << 17  # log-choose table span; QR+QA beyond this clamps
 
+# order of the packed matrices on the wire (one uint8 buffer per chunk)
+_WIRE_KEYS = ("r_i32", "r_u8", "p_i32", "p_i16", "p_u8", "v_i32", "v_u8")
+
+
+def pack_wire(packed, multi: bool = False):
+    """Concatenate the packed matrices into one contiguous uint8 wire
+    buffer (+ static geometry for the device-side unpack). With
+    ``multi``, matrices carry a leading device axis and the wire is
+    [D, nbytes] so shard_map splits it along 'data'."""
+    mats = [np.ascontiguousarray(packed[k]) for k in _WIRE_KEYS]
+    if multi:
+        d = mats[0].shape[0]
+        geom = tuple((m.dtype.str, m.shape[1:]) for m in mats)
+        wire = np.concatenate(
+            [m.reshape(d, -1).view(np.uint8) for m in mats], axis=1
+        )
+    else:
+        geom = tuple((m.dtype.str, m.shape) for m in mats)
+        wire = np.concatenate([m.reshape(-1).view(np.uint8) for m in mats])
+    return wire, geom
+
 # packed output layouts (one int32 matrix + one float matrix per chunk)
 INT_FIELDS = (
     "null", "gt_idx", "gq", "qr", "qa", "dp", "ro", "ao",
@@ -111,12 +132,39 @@ class TpuEngine:
         dtype = self.dtype
         use_pallas = self._use_pallas()
 
+        def unwire(wire, geom):
+            """One uint8 wire buffer → the seven packed matrices.
+            ``geom`` is static (per shape bucket), so the slices and
+            bitcasts are free at trace time and fuse into consumers;
+            the host ships a single contiguous transfer per chunk."""
+            parts = []
+            off = 0
+            for dt_str, shape in geom:
+                dt = np.dtype(dt_str)
+                nb = int(np.prod(shape)) * dt.itemsize
+                seg = wire[off : off + nb]
+                off += nb
+                if dt.itemsize == 1:
+                    arr = seg.reshape(shape)
+                    if dt != np.uint8:
+                        arr = jax.lax.bitcast_convert_type(arr, dt)
+                else:
+                    arr = jax.lax.bitcast_convert_type(
+                        seg.reshape(shape + (dt.itemsize,)), dt
+                    )
+                parts.append(arr)
+            return parts
+
+        def step_wire(wire, dens, lcf, n_var, geom):
+            return step(*unwire(wire, geom), dens, lcf, n_var)
+
         def step(r32, r8, p32, p16, p8, v32, v8, dens, lcf, n_var):
             reads, pairs, variants = unpack_chunk(
                 r32, r8, p32, p16, p8, v32, v8
             )
             counts = classify(
-                reads, pairs, variants, dens, n_var, min_aligned, dtype=dtype
+                reads, pairs, variants, dens, n_var, min_aligned,
+                dtype=dtype, rows_sorted=True,
             )
             # pack EVERYTHING into one [N, 24] float matrix: a single
             # host transfer per chunk (the tunnel to the TPU is
@@ -175,24 +223,22 @@ class TpuEngine:
             from svtyper_tpu.parallel.mesh import shard_map
 
             n_shard = self.chunk_size // self.n_dev
-
-            def local(r32, r8, p32, p16, p8, v32, v8, dens, lcf):
-                # shard_map blocks keep the leading device axis (size 1)
-                return step(
-                    r32[0], r8[0], p32[0], p16[0], p8[0], v32[0], v8[0],
-                    dens[0], lcf, n_shard,
-                )[None]
-
             dspec = P("data")
-            return jax.jit(
-                shard_map(
+
+            def sharded(wire, dens, lcf, geom):
+                def local(w, d, l):
+                    # shard_map blocks keep the leading device axis
+                    return step_wire(w[0], d[0], l, n_shard, geom)[None]
+
+                return shard_map(
                     local,
                     mesh=self.mesh,
-                    in_specs=(dspec,) * 8 + (P(),),
+                    in_specs=(dspec, dspec, P()),
                     out_specs=dspec,
-                )
-            )
-        return jax.jit(step, static_argnames=("n_var",))
+                )(wire, dens, lcf)
+
+            return jax.jit(sharded, static_argnames=("geom",))
+        return jax.jit(step_wire, static_argnames=("n_var", "geom"))
 
     def _dens_for(self, sample_idx: int) -> jnp.ndarray:
         d = self._dens_cache.get(sample_idx)
@@ -294,27 +340,26 @@ class TpuEngine:
         """Device stage: host→device transfer + async step dispatch
         (no sync). Runs on the main thread — the device execution
         itself is asynchronous, so chunk k computes while chunk k+1
-        preps and chunk k-1 collects."""
+        preps and chunk k-1 collects. The seven packed matrices ship
+        as ONE contiguous uint8 wire buffer per chunk (a single
+        transfer RPC; the jitted step slices + bitcasts them back at
+        trace time for free)."""
         t0 = time.time()
         arrs = []
         for si, (packed, n_var) in enumerate(payloads):
-            args = (
-                jnp.asarray(packed["r_i32"]),
-                jnp.asarray(packed["r_u8"]),
-                jnp.asarray(packed["p_i32"]),
-                jnp.asarray(packed["p_i16"]),
-                jnp.asarray(packed["p_u8"]),
-                jnp.asarray(packed["v_i32"]),
-                jnp.asarray(packed["v_u8"]),
-            )
+            wire, geom = pack_wire(packed, multi=self.n_dev > 1)
             if self.n_dev > 1:
                 arrs.append(
-                    self._step(*args, self._dens_stack_for(si), self._lcf)
+                    self._step(
+                        jnp.asarray(wire), self._dens_stack_for(si),
+                        self._lcf, geom=geom,
+                    )
                 )
             else:
                 arrs.append(
                     self._step(
-                        *args, self._dens_for(si), self._lcf, n_var=n_var
+                        jnp.asarray(wire), self._dens_for(si), self._lcf,
+                        n_var=n_var, geom=geom,
                     )
                 )
         self.stats["send_s"] += time.time() - t0

@@ -64,7 +64,8 @@ def make_sharded_step(
         pairs = {k: v[0] for k, v in pairs.items()}
         variants = {k: v[0] for k, v in variants.items()}
         counts = classify(
-            reads, pairs, variants, dens[0], n_var, min_aligned, dtype=dtype
+            reads, pairs, variants, dens[0], n_var, min_aligned,
+            dtype=dtype, rows_sorted=True,
         )
         out = genotype_batch(
             counts,
