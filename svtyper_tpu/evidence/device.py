@@ -20,45 +20,116 @@ SPLIT_SLOP = 7  # SPEC.md §8
 PRIOR_CONC, PRIOR_DISC = 0.95, 0.05
 
 
-def unpack_chunk(r32, r8, p32, p16, p8, v32, v8):
-    """Packed dtype-grouped matrices → the reads/pairs/variants dicts
-    ``classify`` consumes. Row slicing + bool casts only — XLA fuses
-    these into the consumers, so the packing costs nothing on device
-    while cutting host→device transfers to seven per chunk."""
+def prob_mapq(mapq, dtype):
+    return 1.0 - jnp.power(jnp.asarray(10.0, dtype), -mapq.astype(dtype) / 10.0)
+
+
+def classify_compact(
+    cr_u16, cr_u8, cp_u16, cp_i32, cp_u8, v32, v8,
+    dens: jnp.ndarray,
+    n_var: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Counts from the compact wire format (extract.compact_chunk).
+
+    The host precomputed the integer window/strand/straddle predicates
+    as flag bits; this kernel applies every float op — prob_mapq
+    weighting, the §4.3 insert-density re-partition, and the
+    variant segment-sums — producing counts identical to ``classify``
+    over the full columns (tests/test_compact.py). Rows are grouped by
+    ascending variant (engine layout), so sorted segment-sums apply.
+    """
     from svtyper_tpu.evidence.extract import (
-        PAIRS_BOOL,
-        PAIRS_I16,
-        PAIRS_I32,
-        PAIRS_U8,
-        READS_BOOL,
-        READS_I32,
-        READS_U8,
+        LIB_INVALID,
+        P_ALT,
+        P_ALTREC,
+        R_CLIPHIT,
+        R_COVHIT,
+        R_LHIT,
+        R_PRIMFIRST,
+        R_RHIT,
         VARS_BOOL,
         VARS_I32,
     )
 
-    reads = {}
-    for i, name in enumerate(READS_I32):
-        reads[name] = r32[i]
-    for i, name in enumerate(READS_U8):
-        reads[name] = (
-            r8[i].astype(bool) if name in READS_BOOL else r8[i]
-        )
-    pairs = {name: p32[i] for i, name in enumerate(PAIRS_I32)}
-    for i, name in enumerate(PAIRS_I16):
-        pairs[name] = p16[i]
-    for i, name in enumerate(PAIRS_U8):
-        pairs[name] = (
-            p8[i].astype(bool) if name in PAIRS_BOOL else p8[i]
-        )
-    variants = {name: v32[i] for i, name in enumerate(VARS_I32)}
-    for i, name in enumerate(VARS_BOOL):
-        variants[name] = v8[i].astype(bool)
-    return reads, pairs, variants
+    nseg = n_var + 1
+    iv = {name: i for i, name in enumerate(VARS_I32)}
+    ib = {name: i for i, name in enumerate(VARS_BOOL)}
 
+    # ---- reads (§4.1 coverage, §4.2 splits/clips)
+    rv = cr_u16[0].astype(jnp.int32)
+    mapq, sa_mapq, rf = cr_u8[0], cr_u8[1], cr_u8[2]
+    pm = prob_mapq(mapq, dtype)
+    spm = prob_mapq(sa_mapq, dtype)
+    prim_first = (rf & R_PRIMFIRST) != 0
+    l_pm = jnp.where(prim_first, pm, spm)
+    r_pm = jnp.where(prim_first, spm, pm)
+    lhit = ((rf & R_LHIT) != 0).astype(dtype)
+    rhit = ((rf & R_RHIT) != 0).astype(dtype)
+    ref_seq_c = jnp.where((rf & R_COVHIT) != 0, pm, 0.0)
+    alt_seq_c = (l_pm * lhit + r_pm * rhit) * 0.5
+    alt_clip_c = jnp.where((rf & R_CLIPHIT) != 0, pm, 0.0)
+    counts_read = jnp.stack([ref_seq_c, alt_seq_c, alt_clip_c], axis=1)
+    per_var_read = jax.ops.segment_sum(
+        counts_read, rv, num_segments=nseg, indices_are_sorted=True
+    )
 
-def prob_mapq(mapq, dtype):
-    return 1.0 - jnp.power(jnp.asarray(10.0, dtype), -mapq.astype(dtype) / 10.0)
+    # ---- pairs (§4.3)
+    pv = cp_u16[0].astype(jnp.int32)
+    a_mapq, b_mapq, lu8, pf = cp_u8[0], cp_u8[1], cp_u8[2], cp_u8[3]
+    p_pair = prob_mapq(a_mapq, dtype) * prob_mapq(b_mapq, dtype)
+    alt = (pf & P_ALT) != 0
+    alt_rec = (pf & P_ALTREC) != 0
+    refw = (pf >> 2).astype(dtype)
+    ref_span_c = refw * p_pair * 0.5
+
+    def pgather(row):
+        pad = jnp.zeros((1,), dtype=row.dtype)
+        return jnp.concatenate([row, pad])[pv]
+
+    vlen = pgather(v32[iv["vlen"]])
+    is_del = pgather(v8[ib["is_del"]]).astype(bool)
+
+    W = dens.shape[1]
+    ospan = cp_i32[0]
+    lib = jnp.where(lu8 == LIB_INVALID, -1, lu8.astype(jnp.int32))
+    lib_safe = jnp.clip(lib, 0, dens.shape[0] - 1)
+
+    def dens_at(x):
+        ok = (x >= 0) & (x < W) & (lib >= 0)
+        return jnp.where(ok, dens[lib_safe, jnp.clip(x, 0, W - 1)], 0.0)
+
+    d_conc = dens_at(ospan)
+    d_disc = dens_at(ospan - vlen)
+    denom = PRIOR_CONC * d_conc + PRIOR_DISC * d_disc
+    p_conc = jnp.where(
+        denom > 0, PRIOR_CONC * d_conc / jnp.where(denom > 0, denom, 1.0), 0.0
+    )
+    del_move = jnp.where(
+        is_del & alt & (denom > 0), (1.0 - p_conc) * p_pair, 0.0
+    )
+    alt_span_c = (
+        del_move
+        + jnp.where(alt & ~is_del, p_pair, 0.0)
+        + jnp.where(alt_rec, p_pair, 0.0)
+    )
+    ref_span_c = ref_span_c - del_move
+    counts_pair = jnp.stack([ref_span_c, alt_span_c], axis=1)
+    per_var_pair = jax.ops.segment_sum(
+        counts_pair, pv, num_segments=nseg, indices_are_sorted=True
+    )
+
+    out = jnp.concatenate(
+        [
+            per_var_read[:n_var, 0:1],
+            per_var_read[:n_var, 1:2],
+            per_var_read[:n_var, 2:3],
+            per_var_pair[:n_var, 0:1],
+            per_var_pair[:n_var, 1:2],
+        ],
+        axis=1,
+    ).astype(dtype)
+    return out
 
 
 def _edge_in_window(pos, end, tid, bp_tid, bp_pos, ci0, ci1, o_rev):

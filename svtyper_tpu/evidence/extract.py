@@ -143,38 +143,174 @@ def pack_chunk(chunk: "ChunkInputs") -> Dict[str, np.ndarray]:
     }
 
 
-def repad_packed(
-    packed: Dict[str, np.ndarray], r_pad: int, f_pad: int, n_var: int
+# ---- compact wire format (engine hot path) --------------------------
+#
+# The integer/bool evidence predicates (SPEC.md §4.1–4.3 window, strand
+# and straddle tests) are pure comparisons over data that is already
+# cache-resident on the host — precomputing them here shrinks the
+# host→device wire from 45 B/read + 38 B/pair to 5 B/read + 10 B/pair,
+# while every float op (prob_mapq weighting, the §4.3 insert-density
+# re-partition, segment sums, GL) stays on device
+# (evidence/device.py::classify_compact). The full-column device path
+# (device.py::classify) remains the semantic reference; tests assert
+# the two produce identical counts.
+
+_SPLIT_SLOP = 7  # must equal device.SPLIT_SLOP (tests enforce)
+
+# cr_u8 rows: mapq, sa_mapq, flags; cp_u8 rows: a_mapq, b_mapq, lib, flags
+R_COVHIT, R_CLIPHIT, R_LHIT, R_RHIT, R_PRIMFIRST = 1, 2, 4, 8, 16
+P_ALT, P_ALTREC = 1, 2  # bits 2-3: pre-gated ref straddle weight (0/1/2)
+LIB_INVALID = 255
+
+COMPACT_KEYS = ("cr_u16", "cr_u8", "cp_u16", "cp_i32", "cp_u8",
+                "v_i32", "v_u8")
+
+
+def _np_edge_in_window(pos, end, tid, bp_tid, bp_pos, ci0, ci1, o_rev):
+    edge = np.where(o_rev, pos, end - 1)
+    return (
+        (tid == bp_tid)
+        & (edge >= bp_pos + ci0 - _SPLIT_SLOP)
+        & (edge <= bp_pos + ci1 + _SPLIT_SLOP)
+    )
+
+
+def _np_straddle(a_pos, a_end, a_rev, a_aln, a_tid,
+                 b_pos, b_end, b_rev, b_aln, b_tid,
+                 tid1, p1, ci10, ci11, tid2, p2, ci20, ci21,
+                 o1, o2, min_aligned):
+    ok = (
+        (a_rev == o1) & (b_rev == o2)
+        & (a_tid == tid1) & (b_tid == tid2)
+        & (a_aln >= min_aligned) & (b_aln >= min_aligned)
+    )
+    a_side = np.where(o1, a_end - 1 >= p1 + ci10, a_pos <= p1 + ci11)
+    b_side = np.where(o2, b_end - 1 >= p2 + ci20, b_pos <= p2 + ci21)
+    return ok & a_side & b_side
+
+
+def compact_chunk(
+    chunk: "ChunkInputs", min_aligned: int = 20
 ) -> Dict[str, np.ndarray]:
-    """Grow a packed chunk's read/pair matrices to (r_pad, f_pad) columns.
+    """ChunkInputs → compact wire matrices (numpy twin of the predicate
+    half of ``device.py::classify``; bit-identical flags by
+    construction — both are integer compares)."""
+    r, p, v = chunk.reads, chunk.pairs, chunk.variants
+    n_var = chunk.n_var
+    if n_var > 0xFFFE:
+        raise ValueError("compact wire: chunk_size must be <= 65534")
 
-    Used by the multi-device engine: every shard of a chunk must carry
-    identical pad geometry so the stacked [D, ...] arrays are rectangular.
-    Padding rows keep the trash-segment convention (var == n_var; pair
-    tids == -1).
-    """
-    def grow(m: np.ndarray, pad: int) -> np.ndarray:
-        if m.shape[1] == pad:
-            return m
-        out = np.zeros((m.shape[0], pad), dtype=m.dtype)
-        out[:, : m.shape[1]] = m
-        return out
+    def vg(name):
+        col = np.asarray(v[name])
+        return np.concatenate([col, np.zeros(1, col.dtype)])
 
-    out = dict(packed)
-    old_r = packed["r_i32"].shape[1]
-    old_f = packed["p_i32"].shape[1]
-    out["r_i32"] = grow(packed["r_i32"], r_pad)
-    out["r_u8"] = grow(packed["r_u8"], r_pad)
-    out["p_i32"] = grow(packed["p_i32"], f_pad)
-    out["p_i16"] = grow(packed["p_i16"], f_pad)
-    out["p_u8"] = grow(packed["p_u8"], f_pad)
-    if r_pad > old_r:
-        out["r_i32"][0, old_r:] = n_var
-    if f_pad > old_f:
-        out["p_i32"][0, old_f:] = n_var
-        out["p_i32"][5, old_f:] = -1
-        out["p_i32"][6, old_f:] = -1
-    return out
+    rv = np.asarray(r["var"])
+    V = {name: vg(name)[rv] for name in (
+        "tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0",
+        "cib1", "o1", "o2",
+    )}
+
+    covhit = r["cov_a"] | r["cov_b"]
+    same_strand_req = V["o1"] != V["o2"]
+    pieces_same = r["is_rev"] == r["sa_rev"]
+    sa_ok = r["has_sa"] & (pieces_same == same_strand_req)
+    prim_first = r["lead"] <= r["sa_lead"]
+
+    def pick(prim, sa):
+        return (np.where(prim_first, prim, sa),
+                np.where(prim_first, sa, prim))
+
+    L_pos, R_pos = pick(r["pos"], r["sa_pos"])
+    L_end, R_end = pick(r["end"], r["sa_end"])
+    L_tid, R_tid = pick(r["tid"], r["sa_tid"])
+
+    def win(pp, pe, pt, side):
+        if side == "a":
+            return _np_edge_in_window(
+                pp, pe, pt, V["tid_a"], V["pos_a"], V["cia0"], V["cia1"],
+                V["o1"],
+            )
+        return _np_edge_in_window(
+            pp, pe, pt, V["tid_b"], V["pos_b"], V["cib0"], V["cib1"],
+            V["o2"],
+        )
+
+    a1L, a1R = win(L_pos, L_end, L_tid, "a"), win(R_pos, R_end, R_tid, "b")
+    a2L, a2R = win(L_pos, L_end, L_tid, "b"), win(R_pos, R_end, R_tid, "a")
+    use1 = (a1L.astype(np.int32) + a1R) >= (a2L.astype(np.int32) + a2R)
+    lhit = sa_ok & np.where(use1, a1L, a2L)
+    rhit = sa_ok & np.where(use1, a1R, a2R)
+
+    def clip_sup(side):
+        o = V["o1"] if side == "a" else V["o2"]
+        hit = win(r["pos"], r["end"], r["tid"], side)
+        return ((~o) & r["has_rsoft"] & hit) | (o & r["has_lsoft"] & hit)
+
+    clip_hit = (
+        (~r["has_sa"]) & (r["has_lsoft"] | r["has_rsoft"])
+        & (clip_sup("a") | clip_sup("b"))
+    )
+    rflags = (
+        covhit.astype(np.uint8) * R_COVHIT
+        + clip_hit.astype(np.uint8) * R_CLIPHIT
+        + lhit.astype(np.uint8) * R_LHIT
+        + rhit.astype(np.uint8) * R_RHIT
+        + prim_first.astype(np.uint8) * R_PRIMFIRST
+    )
+
+    pv = np.asarray(p["var"])
+    PV = {name: vg(name)[pv] for name in (
+        "tid_a", "pos_a", "cia0", "cia1", "tid_b", "pos_b", "cib0",
+        "cib1", "o1", "o2", "is_del", "is_inv",
+    )}
+    A = (p["a_pos"], p["a_end"], p["a_rev"], p["a_aln"], p["a_tid"])
+    B = (p["b_pos"], p["b_end"], p["b_rev"], p["b_aln"], p["b_tid"])
+    at = (PV["tid_a"], PV["pos_a"], PV["cia0"], PV["cia1"])
+    bt = (PV["tid_b"], PV["pos_b"], PV["cib0"], PV["cib1"])
+    F = np.zeros_like(PV["o1"])
+    T = np.ones_like(PV["o1"])
+
+    def strad(t1, p1, c10, c11, t2, p2, c20, c21, o1, o2):
+        return _np_straddle(*A, *B, t1, p1, c10, c11, t2, p2, c20, c21,
+                            o1, o2, min_aligned)
+
+    ref_a = strad(*at, *at, F, T)
+    ref_b = strad(*bt, *bt, F, T)
+    ref_gate = (ref_a | ref_b) & (~(ref_a & ref_b) | PV["is_del"])
+    refw = np.where(ref_gate, ref_a.astype(np.uint8) + ref_b, 0)
+    alt = strad(*at, *bt, PV["o1"], PV["o2"])
+    alt_rec = PV["is_inv"] & strad(*at, *bt, ~PV["o1"], ~PV["o2"])
+    pflags = (
+        alt.astype(np.int32) * P_ALT
+        + alt_rec.astype(np.int32) * P_ALTREC
+        + refw.astype(np.int32) * 4
+    ).astype(np.uint8)
+    # i32 wrap matches the full device path's int32 subtract exactly
+    ospan = np.subtract(p["b_end"], p["a_pos"], dtype=np.int32)
+    lib = np.asarray(p["a_lib"])
+    if lib.size and int(lib.max(initial=0)) >= LIB_INVALID:
+        raise ValueError("compact wire supports < 255 libraries")
+    lu8 = np.where(lib < 0, LIB_INVALID, lib).astype(np.uint8)
+
+    packed = chunk.packed or pack_chunk(chunk)
+    return {
+        "cr_u16": rv.astype(np.uint16)[None],
+        "cr_u8": np.stack([
+            np.asarray(r["mapq"], np.uint8),
+            np.asarray(r["sa_mapq"], np.uint8),
+            rflags,
+        ]),
+        "cp_u16": pv.astype(np.uint16)[None],
+        "cp_i32": ospan[None],
+        "cp_u8": np.stack([
+            np.asarray(p["a_mapq"], np.uint8),
+            np.asarray(p["b_mapq"], np.uint8),
+            lu8,
+            pflags,
+        ]),
+        "v_i32": packed["v_i32"],
+        "v_u8": packed["v_u8"],
+    }
 
 
 def _bucket(n: int, floor: int = 256) -> int:

@@ -21,11 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from svtyper_tpu.breakpoints import Breakpoint
-from svtyper_tpu.evidence.device import classify, unpack_chunk
+from svtyper_tpu.evidence.device import classify_compact
 from svtyper_tpu.evidence.extract import (
-    pack_chunk,
+    COMPACT_KEYS,
+    VARS_BOOL,
+    compact_chunk,
     prepare_chunk,
-    repad_packed,
 )
 from svtyper_tpu.models.bayes import GT_STRINGS, GenotypeResult
 from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
@@ -33,16 +34,33 @@ from svtyper_tpu.stats.library import Sample
 
 MAX_N_TABLE = 1 << 17  # log-choose table span; QR+QA beyond this clamps
 
-# order of the packed matrices on the wire (one uint8 buffer per chunk)
-_WIRE_KEYS = ("r_i32", "r_u8", "p_i32", "p_i16", "p_u8", "v_i32", "v_u8")
+def _repad_compact(c, r_pad: int, f_pad: int, n_var: int):
+    """Grow compact matrices to common shard geometry. Padding rows:
+    var = n_var (trash segment) and zero flags, so they contribute
+    nothing regardless of the other fields."""
+    def grow(m, pad, fill=0):
+        if m.shape[1] == pad:
+            return m
+        out = np.full((m.shape[0], pad), fill, dtype=m.dtype)
+        out[:, : m.shape[1]] = m
+        return out
+
+    out = dict(c)
+    out["cr_u16"] = grow(c["cr_u16"], r_pad, n_var)
+    out["cr_u8"] = grow(c["cr_u8"], r_pad)
+    out["cp_u16"] = grow(c["cp_u16"], f_pad, n_var)
+    out["cp_i32"] = grow(c["cp_i32"], f_pad)
+    out["cp_u8"] = grow(c["cp_u8"], f_pad)
+    return out
 
 
 def pack_wire(packed, multi: bool = False):
-    """Concatenate the packed matrices into one contiguous uint8 wire
-    buffer (+ static geometry for the device-side unpack). With
-    ``multi``, matrices carry a leading device axis and the wire is
-    [D, nbytes] so shard_map splits it along 'data'."""
-    mats = [np.ascontiguousarray(packed[k]) for k in _WIRE_KEYS]
+    """Concatenate the compact matrices (extract.COMPACT_KEYS order)
+    into one contiguous uint8 wire buffer (+ static geometry for the
+    device-side unpack). With ``multi``, matrices carry a leading
+    device axis and the wire is [D, nbytes] so shard_map splits it
+    along 'data'."""
+    mats = [np.ascontiguousarray(packed[k]) for k in COMPACT_KEYS]
     if multi:
         d = mats[0].shape[0]
         geom = tuple((m.dtype.str, m.shape[1:]) for m in mats)
@@ -127,7 +145,6 @@ class TpuEngine:
         return os.environ.get("SVT_PALLAS") == "1" and not self._use_f64
 
     def _build_step(self):
-        min_aligned = self.min_aligned
         sw, dw = self.split_weight, self.disc_weight
         dtype = self.dtype
         use_pallas = self._use_pallas()
@@ -158,13 +175,16 @@ class TpuEngine:
         def step_wire(wire, dens, lcf, n_var, geom):
             return step(*unwire(wire, geom), dens, lcf, n_var)
 
-        def step(r32, r8, p32, p16, p8, v32, v8, dens, lcf, n_var):
-            reads, pairs, variants = unpack_chunk(
-                r32, r8, p32, p16, p8, v32, v8
-            )
-            counts = classify(
-                reads, pairs, variants, dens, n_var, min_aligned,
-                dtype=dtype, rows_sorted=True,
+        _ib = {name: i for i, name in enumerate(VARS_BOOL)}
+
+        def step(cr16, cr8, cp16, cp32, cp8, v32, v8, dens, lcf, n_var):
+            variants = {
+                "is_dup": v8[_ib["is_dup"]].astype(bool),
+                "force_null": v8[_ib["force_null"]].astype(bool),
+            }
+            counts = classify_compact(
+                cr16, cr8, cp16, cp32, cp8, v32, v8, dens, n_var,
+                dtype=dtype,
             )
             # pack EVERYTHING into one [N, 24] float matrix: a single
             # host transfer per chunk (the tunnel to the TPU is
@@ -290,7 +310,9 @@ class TpuEngine:
             self.stats["pairs"] += int(
                 np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
             )
-            payloads.append((chunk.packed or pack_chunk(chunk), chunk.n_var))
+            payloads.append(
+                (compact_chunk(chunk, self.min_aligned), chunk.n_var)
+            )
         self.stats["prep_s"] += time.time() - t0
         self.stats["chunks"] += 1
         self.stats["variants"] += n_real
@@ -323,16 +345,14 @@ class TpuEngine:
         f_pad = max(len(c.pairs["var"]) for c in shards)
         self._hw_reads = max(self._hw_reads, r_pad)
         self._hw_pairs = max(self._hw_pairs, f_pad)
-        packeds = [
-            repad_packed(
-                c.packed or pack_chunk(c), r_pad, f_pad, c.n_var
+        compacts = [
+            _repad_compact(
+                compact_chunk(c, self.min_aligned), r_pad, f_pad, c.n_var
             )
             for c in shards
         ]
         stacks = {
-            k: np.stack([p[k] for p in packeds])
-            for k in ("r_i32", "r_u8", "p_i32", "p_i16", "p_u8",
-                      "v_i32", "v_u8")
+            k: np.stack([p[k] for p in compacts]) for k in COMPACT_KEYS
         }
         return (stacks, None)
 
