@@ -5,8 +5,9 @@ The reference's only parallelism is a fork-based process pool over
 variant batches with temp-file merge (SURVEY.md §2.1 item 1). Here the
 same role is played by device batching (one XLA program genotypes a
 whole ``--batch_size`` chunk at once) and, across hosts, by
-``svtyper_tpu.parallel`` data sharding — so ``--core`` is accepted for
-CLI compatibility but does not fork.
+``svtyper_tpu.parallel`` data sharding; ``--core`` maps the reference's
+host-side parallelism onto the native decoder's per-fetch thread
+fan-out instead of forking.
 """
 
 from __future__ import annotations
@@ -36,7 +37,9 @@ def get_args(argv=None):
                    help="maximum reads per variant before null genotype [1000]")
     p.add_argument("--max_ci_dist", type=float, default=1e10)
     p.add_argument("--core", type=int, default=None,
-                   help="accepted for svtyper-sso compatibility (device batching replaces the fork pool)")
+                   help="host-side decode threads (the reference's fork-pool "
+                        "parallelism maps to the native decoder's thread "
+                        "fan-out; device batching replaces per-batch workers)")
     p.add_argument("--batch_size", type=int, default=1000,
                    help="variants per batch [1000]")
     p.add_argument("-w", "--write_alignment", default=None)
@@ -77,6 +80,7 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             verbose=args.verbose or args.debug,
             checkpoint_dir=args.checkpoint_dir,
+            cores=args.core,
         )
     finally:
         if args.input_vcf:
