@@ -135,19 +135,29 @@ class TpuEngine:
             "variants": 0,
         }
 
-    def _use_pallas(self) -> bool:
-        """Fused Pallas GL kernel — opt-in via SVT_PALLAS=1 (f32 TPU
-        runs only; the jnp path is the parity reference and the safe
-        default while the axon tunnel makes on-hardware validation
-        intermittent)."""
+    def _pallas_mode(self) -> Optional[bool]:
+        """Fused Pallas GL kernel (ops/pallas_gl.py): ON by default for
+        f32 runs on a real TPU backend (measured 1.5× the XLA GL stage
+        on v5e, bit-identical int fields since both build GT/GQ from the
+        shared lc-free scores — see docs/ARCHITECTURE.md). Returns None
+        (off), False (compiled), or True (interpret mode, for CPU
+        tests). SVT_PALLAS=0 forces off, =1 forces on, =interpret runs
+        the kernel interpreted on any backend."""
         import os
 
-        return os.environ.get("SVT_PALLAS") == "1" and not self._use_f64
+        env = os.environ.get("SVT_PALLAS", "")
+        if self._use_f64 or env == "0":
+            return None
+        if env == "interpret":
+            return True
+        if env == "1" or jax.default_backend() == "tpu":
+            return False
+        return None
 
     def _build_step(self):
         sw, dw = self.split_weight, self.disc_weight
         dtype = self.dtype
-        use_pallas = self._use_pallas()
+        pallas_mode = self._pallas_mode()
 
         def unwire(wire, geom):
             """One uint8 wire buffer → the seven packed matrices.
@@ -190,7 +200,7 @@ class TpuEngine:
             # host transfer per chunk (the tunnel to the TPU is
             # latency-bound). Integer fields are exact in f32 up to
             # 2^24 — far above any per-variant read count.
-            if use_pallas:
+            if pallas_mode is not None:
                 from svtyper_tpu.ops.pallas_gl import (
                     BLOCK_N,
                     genotype_batch_pallas,
@@ -206,7 +216,8 @@ class TpuEngine:
                     variants["force_null"].astype(jnp.int32)
                 )
                 ints_t, flts_t = genotype_batch_pallas(
-                    counts_t, isdup, fnull, split_weight=sw, disc_weight=dw
+                    counts_t, isdup, fnull, split_weight=sw,
+                    disc_weight=dw, interpret=pallas_mode,
                 )
                 return jnp.concatenate(
                     [

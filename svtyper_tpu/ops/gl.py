@@ -11,16 +11,33 @@ compare *formatted* output).
 from __future__ import annotations
 
 import functools
+import math
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from svtyper_tpu.models.bayes import ALT_PROBS, ALT_PROBS_DUP
+
 MAX_GQ = 200.0
 # smallest float64 subnormal is 10**-323.6; below that the oracle's naive
 # sum(10**gl) is exactly 0 and it emits a null genotype
 LOG10_TINY = -323.6
+LN10 = math.log(10.0)
+
+# log10 p / log10 (1-p) per genotype, rows (non-dup, dup), rounded once
+# in float64. The float32 paths (XLA and Pallas) both build their
+# per-genotype scores from THESE constants so the two lowerings produce
+# bit-identical GT/GQ (see genotype_batch's float32 branch).
+LOG_P_TABLE = np.asarray(
+    [[math.log10(p) for p in ALT_PROBS],
+     [math.log10(p) for p in ALT_PROBS_DUP]]
+)
+LOG_Q_TABLE = np.asarray(
+    [[math.log10(1.0 - p) for p in ALT_PROBS],
+     [math.log10(1.0 - p) for p in ALT_PROBS_DUP]]
+)
 
 
 @functools.lru_cache(maxsize=4)
@@ -69,30 +86,60 @@ def genotype_batch(
     lc_valid = (k2 > 0) & (k >= 0) & (n >= k)
     lc = jnp.where(lc_valid, lcf[ni] - lcf[ki] - lcf[nki], 0.0).astype(dtype)
 
-    p_alt = jnp.where(
-        is_dup[:, None],
-        jnp.asarray([1e-2, 0.2, 1.0 / 3.0], dtype=dtype),
-        jnp.asarray([1e-3, 0.5, 0.9], dtype=dtype),
-    )  # [N,3]
-    log_p = jnp.log10(p_alt)
-    log_q = jnp.log10(1.0 - p_alt)
-    gl = lc[:, None] + k[:, None] * log_p + (n - k)[:, None] * log_q  # [N,3]
+    if dtype == jnp.float64:
+        # parity path: the oracle (models/bayes.py) computes GL with the
+        # log-choose term folded in and derives GT/GQ/SQ from those
+        # floats — mirror its exact op order so formatted output is
+        # byte-identical (tests/test_engine_parity.py).
+        p_alt = jnp.where(
+            is_dup[:, None],
+            jnp.asarray([1e-2, 0.2, 1.0 / 3.0], dtype=dtype),
+            jnp.asarray([1e-3, 0.5, 0.9], dtype=dtype),
+        )  # [N,3]
+        log_p = jnp.log10(p_alt)
+        log_q = jnp.log10(1.0 - p_alt)
+        gl = lc[:, None] + k[:, None] * log_p + (n - k)[:, None] * log_q
+        s = gl  # [N,3] — the scores GT/GQ/SQ derive from
+    else:
+        # float32 throughput path: lc is CONSTANT across the three
+        # genotypes, so GT/GQ/SQ are computed from lc-free scores built
+        # from shared f64-rounded constants — bit-identical between this
+        # XLA lowering and the Pallas kernel (ops/pallas_gl.py), which
+        # uses a Stirling lgamma for lc and would otherwise drift GQ ±1.
+        lp = jnp.where(
+            is_dup[:, None],
+            jnp.asarray(LOG_P_TABLE[1], dtype=dtype),
+            jnp.asarray(LOG_P_TABLE[0], dtype=dtype),
+        )
+        lq = jnp.where(
+            is_dup[:, None],
+            jnp.asarray(LOG_Q_TABLE[1], dtype=dtype),
+            jnp.asarray(LOG_Q_TABLE[0], dtype=dtype),
+        )
+        s = k[:, None] * lp + (n - k)[:, None] * lq  # [N,3]
+        gl = lc[:, None] + s
 
-    best = jnp.argmax(gl, axis=1)  # first max → lowest index on ties
-    gl_best = jnp.take_along_axis(gl, best[:, None], axis=1)[:, 0]
+    best = jnp.argmax(s, axis=1)  # first max → lowest index on ties
+    gl_best = jnp.take_along_axis(s, best[:, None], axis=1)[:, 0]
     masked = jnp.where(
-        jax.nn.one_hot(best, 3, dtype=jnp.bool_), -jnp.inf, gl
+        jax.nn.one_hot(best, 3, dtype=jnp.bool_), -jnp.inf, s
     )
     second = jnp.argmax(masked, axis=1)
-    gl_second = jnp.take_along_axis(gl, second[:, None], axis=1)[:, 0]
+    gl_second = jnp.take_along_axis(s, second[:, None], axis=1)[:, 0]
 
-    # stable log10(sum 10**gl)
-    m = jnp.max(gl, axis=1)
-    sum_shift = jnp.sum(jnp.power(10.0, gl - m[:, None]), axis=1)
+    # stable log10(sum 10**gl); lc cancels in s[:,0]-log_gt_sum, so the
+    # f32 branch's lc-free scores give the same SQ
+    m = jnp.max(s, axis=1)
+    if dtype == jnp.float64:
+        sum_shift = jnp.sum(jnp.power(10.0, s - m[:, None]), axis=1)
+    else:
+        sum_shift = jnp.sum(jnp.exp((s - m[:, None]) * LN10), axis=1)
     log_gt_sum = m + jnp.log10(sum_shift)
-    underflow = m < LOG10_TINY
+    # underflow is a property of the true max GL (incl. lc)
+    m_gl = m if dtype == jnp.float64 else m + lc
+    underflow = m_gl < LOG10_TINY
 
-    sq = jnp.abs(-10.0 * (gl[:, 0] - log_gt_sum))
+    sq = jnp.abs(-10.0 * (s[:, 0] - log_gt_sum))
     gq = _trunc(jnp.minimum(-10.0 * (gl_second - gl_best), MAX_GQ))
 
     null = force_null | (total <= 0) | underflow

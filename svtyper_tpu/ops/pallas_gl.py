@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svtyper_tpu.ops.gl import LOG_P_TABLE, LOG_Q_TABLE
+
 LN10 = math.log(10.0)
 HALF_LN_2PI = 0.5 * math.log(2.0 * math.pi)
 MAX_GQ = 200.0
@@ -80,42 +82,49 @@ def _kernel(counts_ref, isdup_ref, fnull_ref, ints_ref, flts_ref,
         0.0,
     )
 
-    def gl_for(p_pair):
-        # math.log10 keeps the constants weakly-typed python floats so
-        # everything stays f32 even under jax x64
-        lp = jnp.where(is_dup, math.log10(p_pair[1]), math.log10(p_pair[0]))
-        lq = jnp.where(
-            is_dup, math.log10(1.0 - p_pair[1]), math.log10(1.0 - p_pair[0])
+    def score_for(g):
+        # lc-free per-genotype score from the SAME f64-rounded constants
+        # as ops.gl's float32 branch — the python-float scalars round to
+        # the identical f32 values, so GT/GQ match the XLA lowering
+        # bit-for-bit (lc is constant across genotypes and cancels)
+        lp = jnp.where(
+            is_dup, float(LOG_P_TABLE[1][g]), float(LOG_P_TABLE[0][g])
         )
-        return lc + k * lp + (n - k) * lq
+        lq = jnp.where(
+            is_dup, float(LOG_Q_TABLE[1][g]), float(LOG_Q_TABLE[0][g])
+        )
+        return k * lp + (n - k) * lq
 
-    gl0 = gl_for((1e-3, 1e-2))
-    gl1 = gl_for((0.5, 0.2))
-    gl2 = gl_for((0.9, 1.0 / 3.0))
+    s0 = score_for(0)
+    s1 = score_for(1)
+    s2 = score_for(2)
+    gl0 = lc + s0
+    gl1 = lc + s1
+    gl2 = lc + s2
 
     # best / second with ties → lowest index
-    best01 = jnp.where(gl1 > gl0, 1, 0)
-    glb01 = jnp.maximum(gl0, gl1)
-    best = jnp.where(gl2 > glb01, 2, best01)
-    gl_best = jnp.maximum(glb01, gl2)
+    best01 = jnp.where(s1 > s0, 1, 0)
+    sb01 = jnp.maximum(s0, s1)
+    best = jnp.where(s2 > sb01, 2, best01)
+    s_best = jnp.maximum(sb01, s2)
     # second best: max of the two non-best entries
-    gl_second = jnp.where(
+    s_second = jnp.where(
         best == 0,
-        jnp.maximum(gl1, gl2),
-        jnp.where(best == 1, jnp.maximum(gl0, gl2), jnp.maximum(gl0, gl1)),
+        jnp.maximum(s1, s2),
+        jnp.where(best == 1, jnp.maximum(s0, s2), jnp.maximum(s0, s1)),
     )
 
-    m = gl_best
+    m = s_best
     ssum = (
-        jnp.exp((gl0 - m) * LN10)
-        + jnp.exp((gl1 - m) * LN10)
-        + jnp.exp((gl2 - m) * LN10)
+        jnp.exp((s0 - m) * LN10)
+        + jnp.exp((s1 - m) * LN10)
+        + jnp.exp((s2 - m) * LN10)
     )
     log_gt_sum = m + jnp.log10(ssum)
-    underflow = m < LOG10_TINY
+    underflow = (m + lc) < LOG10_TINY
 
-    sq = jnp.abs(-10.0 * (gl0 - log_gt_sum))
-    gq = jnp.trunc(jnp.minimum(-10.0 * (gl_second - gl_best), MAX_GQ))
+    sq = jnp.abs(-10.0 * (s0 - log_gt_sum))
+    gq = jnp.trunc(jnp.minimum(-10.0 * (s_second - s_best), MAX_GQ))
     null = force_null | (total <= 0.0) | underflow
     denom = total
     ab_valid = denom > 0.0

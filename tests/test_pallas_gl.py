@@ -41,8 +41,10 @@ def test_pallas_matches_jnp_reference():
     for row, key in [(3, "qr"), (4, "qa"), (5, "dp"), (6, "ro"), (7, "ao"),
                      (8, "rs"), (9, "as_"), (10, "asc"), (11, "rp"), (12, "ap")]:
         np.testing.assert_array_equal(ints[row], np.asarray(ref[key]), err_msg=key)
-    # GQ can differ by 1 at knife-edge float differences (lgamma vs table)
-    assert (np.abs(ints[2] - np.asarray(ref["gq"])) <= 1).all()
+    # GQ is exact: both paths build GT/GQ from the shared lc-free
+    # scores (ops.gl.LOG_P_TABLE constants), so the lgamma-vs-table
+    # difference in lc cannot leak into the integer fields
+    np.testing.assert_array_equal(ints[2], np.asarray(ref["gq"]))
     gl_ref = np.asarray(ref["gl"])
     np.testing.assert_allclose(flts[:3].T, gl_ref, rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(flts[3], np.asarray(ref["sq"]), rtol=1e-4, atol=2e-4)
