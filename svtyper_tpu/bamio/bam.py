@@ -513,5 +513,14 @@ def _apply_filter_py(batch: ReadBatch, rid: np.ndarray, filt):
     return out, rid
 
 
-def open_bam(path: str) -> BamFile:
-    return BamFile(path)
+def open_bam(path: str, threads: Optional[int] = None):
+    """Open an alignment file by magic: BAM (BGZF) or CRAM. CRAM needs
+    no reference FASTA here — the evidence model never reads bases
+    (bamio/cram.py), so the reference's ``-T`` is accepted but unused."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    if magic == b"CRAM":
+        from svtyper_tpu.bamio.cram import CramFile
+
+        return CramFile(path, threads=threads)
+    return BamFile(path, threads=threads)

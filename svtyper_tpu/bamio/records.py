@@ -108,6 +108,81 @@ class _Cols:
         return ReadBatch.from_columns(d)
 
 
+def append_read(
+    cols: _Cols,
+    name_to_tid: Dict[str, int],
+    rg_index: Dict[bytes, int],
+    tid: int,
+    pos: int,
+    flag: int,
+    mapq: int,
+    tlen: int,
+    mtid: int,
+    mpos: int,
+    qname: bytes,
+    cig_ops: List[Tuple[int, int]],
+    l_seq: int,
+    rg: Optional[bytes],
+    sa: Optional[bytes],
+    vo: int,
+) -> None:
+    """Append one decoded alignment to the column accumulator — the
+    single place ReadBatch rows are derived from record fields, shared
+    by the BAM decoder below and the CRAM decoder (bamio/cram.py)."""
+    feats = CigarFeatures(pos, cig_ops)
+    _append_with_feats(
+        cols, name_to_tid, rg_index, tid, pos, flag, mapq, tlen,
+        mtid, mpos, qname, feats, l_seq, rg, sa, vo,
+    )
+
+
+def _append_with_feats(
+    cols, name_to_tid, rg_index, tid, pos, flag, mapq, tlen,
+    mtid, mpos, qname, feats, l_seq, rg, sa, vo,
+) -> None:
+    is_rev = bool(flag & FREVERSE)
+    cols.tid.append(tid)
+    cols.pos.append(pos)
+    cols.ref_end.append(feats.ref_end)
+    cols.flag.append(flag)
+    cols.mapq.append(mapq)
+    cols.tlen.append(tlen)
+    cols.mate_tid.append(mtid)
+    cols.mate_pos.append(mpos)
+    cols.qname_hash.append(_fnv1a(qname))
+    cols.left_soft.append(feats.left_soft)
+    cols.right_soft.append(feats.right_soft)
+    cols.ref_aln_len.append(feats.ref_aln_len)
+    cols.query_len.append(feats.query_len if feats.query_len else l_seq)
+    cols.lead_clip_q.append(feats.lead_clip_query(is_rev))
+    cols.lib_id.append(rg_index.get(rg, -1) if rg is not None else -1)
+    if sa is not None:
+        first = sa.split(b";", 1)[0].decode()
+        rname, spos, strand, scigar, smapq, _nm = first.split(",")[:6]
+        sops = parse_cigar_string(scigar)
+        sfeats = CigarFeatures(int(spos) - 1, sops)
+        cols.has_sa.append(True)
+        cols.sa_tid.append(name_to_tid.get(rname, -1))
+        cols.sa_pos.append(int(spos) - 1)
+        cols.sa_end.append(sfeats.ref_end)
+        cols.sa_is_reverse.append(strand == "-")
+        cols.sa_mapq.append(int(smapq))
+        cols.sa_lead_clip_q.append(sfeats.lead_clip_query(strand == "-"))
+    else:
+        cols.has_sa.append(False)
+        cols.sa_tid.append(-1)
+        cols.sa_pos.append(-1)
+        cols.sa_end.append(-1)
+        cols.sa_is_reverse.append(False)
+        cols.sa_mapq.append(0)
+        cols.sa_lead_clip_q.append(0)
+    cols.voffset.append(vo)
+    cols.blk_off.append(cols.blk_off[-1] + len(feats.blocks))
+    for bs, be in feats.blocks:
+        cols.blk_start.append(bs)
+        cols.blk_end.append(be)
+
+
 def decode_stream(
     vs: VirtualStream,
     ref_names: List[str],
@@ -166,46 +241,8 @@ def decode_stream(
             continue  # no overlap with [start, end)
         off += (l_seq + 1) // 2 + l_seq  # skip seq + qual
         rg, sa = _scan_tags(rec, off, block_size)
-        is_rev = bool(flag & FREVERSE)
-
-        cols.tid.append(tid)
-        cols.pos.append(pos)
-        cols.ref_end.append(feats.ref_end)
-        cols.flag.append(flag)
-        cols.mapq.append(mapq)
-        cols.tlen.append(tlen)
-        cols.mate_tid.append(mtid)
-        cols.mate_pos.append(mpos)
-        cols.qname_hash.append(_fnv1a(qname))
-        cols.left_soft.append(feats.left_soft)
-        cols.right_soft.append(feats.right_soft)
-        cols.ref_aln_len.append(feats.ref_aln_len)
-        cols.query_len.append(feats.query_len if feats.query_len else l_seq)
-        cols.lead_clip_q.append(feats.lead_clip_query(is_rev))
-        cols.lib_id.append(rg_index.get(rg, -1) if rg is not None else -1)
-        if sa is not None:
-            first = sa.split(b";", 1)[0].decode()
-            rname, spos, strand, scigar, smapq, _nm = first.split(",")[:6]
-            sops = parse_cigar_string(scigar)
-            sfeats = CigarFeatures(int(spos) - 1, sops)
-            cols.has_sa.append(True)
-            cols.sa_tid.append(name_to_tid.get(rname, -1))
-            cols.sa_pos.append(int(spos) - 1)
-            cols.sa_end.append(sfeats.ref_end)
-            cols.sa_is_reverse.append(strand == "-")
-            cols.sa_mapq.append(int(smapq))
-            cols.sa_lead_clip_q.append(sfeats.lead_clip_query(strand == "-"))
-        else:
-            cols.has_sa.append(False)
-            cols.sa_tid.append(-1)
-            cols.sa_pos.append(-1)
-            cols.sa_end.append(-1)
-            cols.sa_is_reverse.append(False)
-            cols.sa_mapq.append(0)
-            cols.sa_lead_clip_q.append(0)
-        cols.voffset.append(vo)
-        cols.blk_off.append(cols.blk_off[-1] + len(feats.blocks))
-        for bs, be in feats.blocks:
-            cols.blk_start.append(bs)
-            cols.blk_end.append(be)
+        _append_with_feats(
+            cols, name_to_tid, rg_index, tid, pos, flag, mapq, tlen,
+            mtid, mpos, qname, feats, l_seq, rg, sa, vo,
+        )
     return cols.to_batch(), seen

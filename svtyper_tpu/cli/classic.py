@@ -14,7 +14,7 @@ import sys
 import time
 from typing import IO, List, Optional
 
-from svtyper_tpu.bamio.bam import BamFile
+from svtyper_tpu.bamio.bam import open_bam
 from svtyper_tpu.breakpoints import BndRegistry
 from svtyper_tpu.output import add_format_headers, apply_variant
 from svtyper_tpu.stats import Sample
@@ -35,7 +35,7 @@ def get_args(argv=None):
     p.add_argument("-B", "--bam", required=True,
                    help="BAM file(s), comma-separated if genotyping multiple samples")
     p.add_argument("-T", "--ref_fasta", default=None,
-                   help="reference FASTA (CRAM only; CRAM is not supported — see docs)")
+                   help="reference FASTA (reference flag parity; CRAM here decodes CIGAR from read features, so no FASTA is needed)")
     p.add_argument("-l", "--lib_info", default=None,
                    help="create/read JSON file of library information")
     p.add_argument("-m", "--min_aligned", type=int, default=20,
@@ -137,7 +137,7 @@ def sv_genotype(
     bam_paths = [b for b in bam_string.split(",") if b]
     # --cores drives the native decoder's per-fetch thread fan-out (the
     # role of the reference sso's fork pool: host-side parallelism)
-    bams = [BamFile(p, threads=cores) for p in bam_paths]
+    bams = [open_bam(p, threads=cores) for p in bam_paths]
 
     # Samples: JSON cache if it exists, else head-scan (then save cache)
     samples: List[Sample] = []
