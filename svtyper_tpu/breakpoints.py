@@ -34,6 +34,8 @@ class Breakpoint:
         "o1_rev",
         "o2_rev",
         "var_length",
+        "_ci_width",
+        "_win_cache",
     )
 
     def __init__(self, svtype, chrom_a, pos_a, ci_a, chrom_b, pos_b, ci_b,
@@ -62,7 +64,12 @@ class Breakpoint:
         return self.svtype == "INV"
 
     def ci_width(self) -> int:
-        return max(abs(v) for v in (*self.ci_a, *self.ci_b))
+        # memoized: called once per (chunk, sample) in the prep hot path
+        w = self._ci_width
+        if w is None:
+            w = max(abs(v) for v in (*self.ci_a, *self.ci_b))
+            self._ci_width = w
+        return w
 
 
 def parse_ci(text: Optional[str]) -> Tuple[int, int]:
