@@ -122,13 +122,27 @@ def main():
             )
             time.sleep(30)  # a wedged relay sometimes recovers after idle
             continue
-        sys.stderr.write(open(err_path).read()[-2000:])
+        err_text = open(err_path).read()
+        sys.stderr.write(err_text[-2000:])
         line = next(
             (l for l in proc.stdout.splitlines() if l.startswith("{")), None
         )
         if proc.returncode == 0 and line:
             print(line)
             return
+        # Retry is for the flaky axon tunnel only. A child that died on a
+        # deterministic Python exception will die identically on every
+        # attempt (BENCH_r02 burned 4 attempts on one AttributeError) —
+        # fail fast and loudly unless the traceback looks transient.
+        transient = ("DEADLINE_EXCEEDED", "UNAVAILABLE", "RPC",
+                     "tunnel", "socket", "Connection")
+        if "Traceback (most recent call last)" in err_text and not any(
+            m in err_text for m in transient
+        ):
+            raise SystemExit(
+                "bench: child crashed deterministically (rc=%d); not "
+                "retrying:\n%s" % (proc.returncode, err_text[-1500:])
+            )
         sys.stderr.write("bench child failed rc=%d (attempt %d)\n"
                          % (proc.returncode, i + 1))
     raise SystemExit("bench: all attempts failed")
@@ -162,6 +176,15 @@ def _measure():
         variants = [Variant(line, vcf) for line in body]
     bps = [resolve_breakpoint(v) for v in variants]
     sys.stderr.write("%d variants, sample ready\n" % len(bps))
+
+    # canary: push one real variant through the full fused step (small
+    # chunk, fast compile) BEFORE any measurement, so a deterministic
+    # app-level crash surfaces in seconds on attempt 1
+    canary = TpuEngine([sample], chunk_size=8)
+    canary_row = canary.genotype_chunk(bps[:1])[0][0]
+    sys.stderr.write("canary: 1 variant genotyped (null=%s)\n"
+                     % canary_row.null)
+    del canary
 
     # --- baseline: float64 per-read oracle, PINNED denominator — the
     # median of 5 timed runs over a fixed prefix (the oracle is

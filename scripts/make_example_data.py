@@ -30,6 +30,14 @@ EVENTS = [
     Event("INV", "chr1", 8_000_000, 8_001_500, "1/1"),
     Event("BND", "chr1", 9_000_000, 2_000_000, "0/1", chrom2="chr2"),
     Event("DEL", "chr2", 4_000_000, 4_002_500, "0/1"),
+    # gate fodder (VERDICT r2 item 5): a wide-CI record that the
+    # --max_ci_dist gate nulls, and a coverage-spiked locus that the
+    # --max_reads gate nulls — so the golden files pin the null-path
+    # bytes through the CLI for both engines
+    Event("DEL", "chr1", 10_000_000, 10_002_000, "0/1",
+          var_id="del_wide_ci", ci=(-80, 80)),
+    Event("DEL", "chr1", 11_000_000, 11_001_200, "0/1",
+          var_id="del_deep", depth_scale=10.0),
 ]
 
 

@@ -739,6 +739,9 @@ class CraiIndex:
         if not len(r):
             return []
         hit = (r[:, 0] == tid) & (r[:, 1] < end) & (r[:, 1] + r[:, 2] > beg)
+        # multi-ref rows (seq = -2, from the header-scan fallback) can't
+        # be range-filtered without decoding — match any query
+        hit |= r[:, 0] == -2
         return sorted(set(int(x) for x in r[hit, 3]))
 
 
@@ -755,9 +758,18 @@ class CramFile:
                  threads: Optional[int] = None) -> None:
         from svtyper_tpu.bamio.bam import BamHeader
 
+        import mmap
+
         self.path = path
-        with open(path, "rb") as fh:
-            self._buf = fh.read()
+        # mmap, not read(): real CRAMs are multi-GB and fetch() touches
+        # only the indexed containers; the OS pages in what's used
+        self._fh = open(path, "rb")
+        try:
+            self._buf = mmap.mmap(
+                self._fh.fileno(), 0, access=mmap.ACCESS_READ
+            )
+        except (ValueError, OSError):  # 0-byte or unmappable file
+            self._buf = self._fh.read()
         if self._buf[:4] != CRAM_MAGIC:
             raise ValueError("not a CRAM file: %s" % path)
         self.version = (self._buf[4], self._buf[5])
@@ -852,7 +864,31 @@ class CramFile:
     @property
     def crai(self) -> CraiIndex:
         if self._crai is None:
-            self._crai = CraiIndex.load(self.path + ".crai")
+            import os
+            import sys
+
+            crai_path = self.path + ".crai"
+            if os.path.exists(crai_path):
+                self._crai = CraiIndex.load(crai_path)
+            else:
+                # no index: fall back to an in-memory one built from the
+                # container headers (a cheap header-only scan; no record
+                # decode). Multi-ref containers (ref_id=-2) are kept as
+                # match-any rows.
+                sys.stderr.write(
+                    "warning: %s not found; building an in-memory index "
+                    "from container headers (run samtools index, or ship "
+                    "the .crai, to skip this scan)\n" % crai_path
+                )
+                rows = []
+                for off in self._container_offsets():
+                    ch = ContainerHeader.parse(self._buf, off)
+                    rows.append(
+                        [ch.ref_id, ch.start, ch.span, off, 0, 0]
+                    )
+                self._crai = CraiIndex(
+                    np.asarray(rows, dtype=np.int64).reshape(-1, 6)
+                )
         return self._crai
 
     def fetch(self, chrom: str, start: int, end: int) -> ReadBatch:

@@ -288,7 +288,10 @@ class CramWriter:
         write_itf8(sh, len(recs))
         from svtyper_tpu.bamio.cram import write_ltf8
 
-        write_ltf8(sh, self._counter)
+        # both the slice header and the container header carry the
+        # record counter of the container's FIRST record (CRAM 3.0 §8)
+        first_rec_counter = self._counter
+        write_ltf8(sh, first_rec_counter)
         write_itf8(sh, 1 + len(content_ids))  # core + externals
         write_itf8(sh, len(content_ids))
         for cid in content_ids:
@@ -310,7 +313,7 @@ class CramWriter:
                         bytes(streams[cid]))
         blocks.extend(slice_blocks)
         hdr = ContainerHeader.emit(
-            tid, start, span, len(recs), self._counter,
+            tid, start, span, len(recs), first_rec_counter,
             sum(r["rl"] for r in recs), 2 + 1 + len(content_ids),
             [landmark], len(blocks),
         )

@@ -2,8 +2,10 @@
 
 Reconstruction of ``classic.py::bayes_gt`` and ``log_choose``
 (SURVEY.md §2.2, §8.1–2; SPEC.md §5). The engine's batched JAX/Pallas
-kernels (``svtyper_tpu/ops/gl_kernel.py``) must reproduce these values to
-output-format precision; ``tests/test_gt_engine.py`` enforces it.
+kernels (``svtyper_tpu/ops/gl.py``, ``svtyper_tpu/ops/pallas_gl.py``)
+must reproduce these values to output-format precision;
+``tests/test_pallas_gl.py`` and ``tests/test_engine_parity.py``
+enforce it.
 """
 
 from __future__ import annotations

@@ -256,7 +256,13 @@ class OracleEngine:
         self.max_reads = max_reads
         self.max_ci_dist = max_ci_dist
 
-    def genotype_variant(self, bp: Breakpoint) -> List[GenotypeResult]:
+    def genotype_variant(
+        self, bp: Optional[Breakpoint]
+    ) -> List[GenotypeResult]:
+        # None (unsupported SVTYPE) → null rows, mirroring
+        # TpuEngine.genotype_chunk so both engines accept the same inputs
+        if bp is None:
+            return [GenotypeResult() for _ in self.samples]
         out = []
         for sample in self.samples:
             if bp.ci_width() > self.max_ci_dist:

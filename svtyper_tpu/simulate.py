@@ -64,6 +64,8 @@ class Event:
         gt: str,
         var_id: Optional[str] = None,
         chrom2: Optional[str] = None,
+        ci: Tuple[int, int] = (0, 0),
+        depth_scale: float = 1.0,
     ) -> None:
         assert svtype in ("DEL", "DUP", "INV", "BND")
         self.svtype = svtype
@@ -73,6 +75,8 @@ class Event:
         self.gt = gt
         self.var_id = var_id or "%s_%d" % (svtype.lower(), pos)
         self.chrom2 = chrom2 or chrom  # BND partner chromosome
+        self.ci = ci  # emitted as CIPOS and CIEND (gate fodder for --max_ci_dist)
+        self.depth_scale = depth_scale  # local depth multiplier (--max_reads fodder)
 
     def n_alt_haps(self) -> int:
         return self.gt.count("1")
@@ -224,7 +228,7 @@ def simulate_events(
             is_alt = hap < n_alt
             tids, poss, strs = _hap_maps(ev, tid_of, cfg, is_alt)
             hap_len = len(tids)
-            n_frag = int(cfg.depth / 2 * hap_len / (2 * rl))
+            n_frag = int(cfg.depth * ev.depth_scale / 2 * hap_len / (2 * rl))
             inserts = np.clip(
                 rng.normal(cfg.insert_mean, cfg.insert_sd, n_frag),
                 2 * rl + 2,
@@ -331,12 +335,14 @@ def events_to_vcf(events: List[Event], refs: List[Tuple[str, int]],
         "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t" + sample
     )
     for ev in events:
+        ci = "CIPOS=%d,%d;CIEND=%d,%d" % (ev.ci[0], ev.ci[1],
+                                          ev.ci[0], ev.ci[1])
         if ev.svtype == "BND":
             alt = "N[%s:%d[" % (ev.chrom2, ev.end)
-            info = "SVTYPE=BND;CIPOS=0,0;CIEND=0,0"
+            info = "SVTYPE=BND;" + ci
         else:
             alt = "<%s>" % ev.svtype
-            info = "SVTYPE=%s;END=%d;CIPOS=0,0;CIEND=0,0" % (ev.svtype, ev.end)
+            info = "SVTYPE=%s;END=%d;%s" % (ev.svtype, ev.end, ci)
         lines.append(
             "\t".join(
                 (ev.chrom, str(ev.pos), ev.var_id, "N", alt, ".", ".",

@@ -84,4 +84,4 @@ def test_make_example_data_script(tmp_path):
           "-B", os.path.join(outdir, "example.sim.sorted.bam"),
           "-o", out, "-n", "60000"])
     body = [l for l in open(out) if not l.startswith("#")]
-    assert len(body) == 10
+    assert len(body) == 12

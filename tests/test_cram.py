@@ -118,6 +118,23 @@ def test_fetch_column_parity(pair):
         npt.assert_array_equal(a.blk_end, b.blk_end)
 
 
+def test_fetch_without_crai_falls_back(pair, tmp_path, capfd):
+    """No .crai: fetch still works via the header-scan fallback index
+    (with a warning), matching the indexed fetch row-for-row."""
+    import shutil
+
+    bam, cram, _ = pair
+    noidx = str(tmp_path / "noidx.cram")
+    shutil.copy(cram, noidx)  # deliberately without the .crai
+    cf_idx, cf_no = CramFile(cram), CramFile(noidx)
+    for chrom, lo, hi in [("chr1", 499_000, 503_000),
+                          ("chr2", 399_000, 401_000)]:
+        a, b = cf_idx.fetch(chrom, lo, hi), cf_no.fetch(chrom, lo, hi)
+        assert a.n == b.n
+        npt.assert_array_equal(np.sort(a.pos), np.sort(b.pos))
+    assert "building an in-memory index" in capfd.readouterr().err
+
+
 def test_scan_and_counts(pair):
     bam, cram, _ = pair
     bf, cf = BamFile(bam, use_native=False), CramFile(cram)

@@ -115,6 +115,15 @@ def test_engine_handles_none_breakpoint(setup):
     assert not rows[1][0].null
 
 
+def test_oracle_handles_none_breakpoint(setup):
+    # symmetric with the TPU engine (VERDICT r2 item 6): None →
+    # one null row per sample, not an AttributeError
+    sample, variants, bps = setup
+    oracle = OracleEngine([sample])
+    rows = oracle.genotype_variant(None)
+    assert len(rows) == 1 and rows[0].null
+
+
 def test_chunking_consistency(setup):
     sample, variants, bps = setup
     e1 = TpuEngine([sample], chunk_size=3)

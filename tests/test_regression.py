@@ -33,3 +33,30 @@ def test_example_regression(engine, tmp_path):
     expected = open(os.path.join(DATA, "example.expected.vcf")).read()
     got = open(out).read()
     assert got == expected, "engine %s diverged from the golden output" % engine
+
+
+@pytest.mark.parametrize("engine", ["tpu", "oracle"])
+def test_example_regression_gated(engine, tmp_path):
+    """Null-path golden (VERDICT r2 item 5): --max_ci_dist nulls only
+    the wide-CI record and --max_reads nulls only the coverage-spiked
+    one; all other rows stay byte-identical to the default golden."""
+    out = str(tmp_path / ("gated_%s.vcf" % engine))
+    rc = classic_main([
+        "-i", os.path.join(DATA, "example.vcf"),
+        "-B", os.path.join(DATA, "example.sim.sorted.bam"),
+        "-o", out, "-n", "60000", "--engine", engine,
+        "--max_ci_dist", "50", "--max_reads", "2000",
+    ])
+    assert rc == 0
+    expected = open(os.path.join(DATA, "example.expected.gated.vcf")).read()
+    got = open(out).read()
+    assert got == expected, (
+        "engine %s diverged from the gated golden output" % engine
+    )
+    gated = {
+        line.split("\t")[2]: line.split("\t")[9].split(":")[0]
+        for line in got.splitlines() if not line.startswith("#")
+    }
+    assert gated["del_wide_ci"] == "./."
+    assert gated["del_deep"] == "./."
+    assert gated["del_1000000"] != "./."
