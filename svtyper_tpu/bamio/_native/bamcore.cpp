@@ -59,6 +59,12 @@ struct ChunkBuf {
       p_btid;
   std::vector<int16_t> p_aaln, p_baln, p_alib;
   std::vector<uint8_t> p_arev, p_brev, p_amapq, p_bmapq;
+  // compact-wire extras (svt_chunk_export_compact): the §4.1-4.3
+  // integer predicates evaluated at emission (numpy twin:
+  // evidence/extract.py::compact_chunk — bit-identical by construction)
+  std::vector<uint8_t> c_rflags;
+  std::vector<int32_t> p_ospan;
+  std::vector<uint8_t> p_flags, p_libu8;
 
   void clear() {
     c_var.clear(); c_tid.clear(); c_pos.clear(); c_end.clear();
@@ -71,6 +77,8 @@ struct ChunkBuf {
     p_bend.clear(); p_atid.clear(); p_btid.clear();
     p_aaln.clear(); p_baln.clear(); p_alib.clear();
     p_arev.clear(); p_brev.clear(); p_amapq.clear(); p_bmapq.clear();
+    c_rflags.clear();
+    p_ospan.clear(); p_flags.clear(); p_libu8.clear();
   }
   void truncate_cands(size_t n) {
     c_var.resize(n); c_tid.resize(n); c_pos.resize(n); c_end.resize(n);
@@ -79,8 +87,32 @@ struct ChunkBuf {
     c_rev.resize(n); c_mapq.resize(n); c_lsoft.resize(n);
     c_rsoft.resize(n); c_cova.resize(n); c_covb.resize(n);
     c_hassa.resize(n); c_sarev.resize(n); c_samapq.resize(n);
+    if (c_rflags.size() > n) c_rflags.resize(n);
   }
 };
+
+// compact-wire flag bits (mirror evidence/extract.py)
+static const uint8_t R_COVHIT = 1, R_CLIPHIT = 2, R_LHIT = 4, R_RHIT = 8,
+                     R_PRIMFIRST = 16;
+static const uint8_t P_ALT = 1, P_ALTREC = 2;
+static const int32_t SPLIT_SLOP = 7;  // extract._SPLIT_SLOP
+static const uint8_t LIB_INVALID = 255;
+
+// per-variant predicate context for the compact wire
+struct VarPred {
+  int64_t tid_a, pos_a, cia0, cia1, tid_b, pos_b, cib0, cib1;
+  bool o1, o2, is_del, is_inv;
+};
+
+// extract._np_edge_in_window: the split/clip edge lands in a CI window
+static inline bool edge_in_window(int64_t pos, int64_t end, int64_t tid,
+                                  int64_t bp_tid, int64_t bp_pos,
+                                  int64_t ci0, int64_t ci1, bool o_rev) {
+  const int64_t edge = o_rev ? pos : end - 1;
+  return tid == bp_tid && edge >= bp_pos + ci0 - SPLIT_SLOP &&
+         edge <= bp_pos + ci1 + SPLIT_SLOP;
+}
+
 
 // Shared inflated-block cache, one per open BAM handle. Fetch windows
 // revisit BGZF blocks constantly — a variant's A/B windows, its mate
@@ -1156,6 +1188,22 @@ struct PairGroup {
   PairMate m1, m2;
 };
 
+// extract._np_straddle over one concrete pair
+static inline bool pair_straddle(const PairMate* a, const PairMate* b,
+                                 int64_t t1, int64_t p1, int64_t c10,
+                                 int64_t c11, int64_t t2, int64_t p2,
+                                 int64_t c20, int64_t c21, bool o1, bool o2,
+                                 int32_t min_aligned) {
+  if ((a->rev != 0) != o1 || (b->rev != 0) != o2) return false;
+  if (a->tid != t1 || b->tid != t2) return false;
+  if (a->aln < min_aligned || b->aln < min_aligned) return false;
+  const bool a_side =
+      o1 ? (int64_t)a->end - 1 >= p1 + c10 : (int64_t)a->pos <= p1 + c11;
+  const bool b_side =
+      o2 ? (int64_t)b->end - 1 >= p2 + c20 : (int64_t)b->pos <= p2 + c21;
+  return a_side && b_side;
+}
+
 struct ChunkTask {
   SvtBam* h;
   const int64_t *region_tid, *region_start, *region_end, *range_off;
@@ -1170,6 +1218,13 @@ struct ChunkTask {
   int64_t max_reads;
   uint8_t* var_over;
   int64_t* var_rows;
+  // compact-wire predicate tables (NULL → skip flag computation).
+  // v_i32 rows follow extract.VARS_I32 (tid_a, pos_a, cia0, cia1,
+  // tid_b, pos_b, cib0, cib1, vlen), v_u8 rows extract.VARS_BOOL
+  // (o1, o2, is_del, is_dup, is_inv, force_null); stride = n_var.
+  const int32_t* v_i32;
+  const uint8_t* v_u8;
+  int64_t v_stride;
 };
 
 // Decode the queries of [q_begin, q_end) — whole variants only — into
@@ -1190,11 +1245,28 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
   const bool do_cov = T->cov_pos_a != nullptr;
   const int32_t min_aligned = T->min_aligned;
 
+  const bool compact = T->v_i32 != nullptr;
   int64_t q = q_begin;
   while (q < q_end) {
     const int32_t v = T->var_of_query[q];
     int64_t q1 = q;
     while (q1 < q_end && T->var_of_query[q1] == v) q1++;
+    VarPred vp{};
+    if (compact) {
+      const int64_t s = T->v_stride;
+      vp.tid_a = T->v_i32[0 * s + v];
+      vp.pos_a = T->v_i32[1 * s + v];
+      vp.cia0 = T->v_i32[2 * s + v];
+      vp.cia1 = T->v_i32[3 * s + v];
+      vp.tid_b = T->v_i32[4 * s + v];
+      vp.pos_b = T->v_i32[5 * s + v];
+      vp.cib0 = T->v_i32[6 * s + v];
+      vp.cib1 = T->v_i32[7 * s + v];
+      vp.o1 = T->v_u8[0 * s + v] != 0;
+      vp.o2 = T->v_u8[1 * s + v] != 0;
+      vp.is_del = T->v_u8[2 * s + v] != 0;
+      vp.is_inv = T->v_u8[4 * s + v] != 0;
+    }
     const bool multi = (q1 - q) > 1;
     gmap.begin();
     groups.clear();
@@ -1435,6 +1507,57 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
             cb->c_hassa.push_back(sa.present ? 1 : 0);
             cb->c_sarev.push_back(sa.present ? sa.rev : 0);
             cb->c_samapq.push_back(sa.present ? sa.mapq : 0);
+            if (compact) {
+              // extract.compact_chunk read predicates, scalar form
+              const bool covhit = cova || covb;
+              const uint8_t sa_rev = sa.present ? sa.rev : 0;
+              const bool same_strand_req = vp.o1 != vp.o2;
+              const bool pieces_same = (rev ? 1 : 0) == sa_rev;
+              const bool sa_ok = sa.present && (pieces_same == same_strand_req);
+              const int32_t lead = rev ? rclip : lclip;
+              const int32_t sa_lead = sa.present ? sa.lead : 0;
+              const bool prim_first = lead <= sa_lead;
+              const int64_t sa_tid = sa.present ? sa.tid : -1;
+              const int64_t sa_pos = sa.present ? sa.pos : -1;
+              const int64_t sa_end = sa.present ? sa.end : -1;
+              const int64_t Lp = prim_first ? pos : sa_pos;
+              const int64_t Le = prim_first ? ref_end : sa_end;
+              const int64_t Lt = prim_first ? tid : sa_tid;
+              const int64_t Rp = prim_first ? sa_pos : pos;
+              const int64_t Re = prim_first ? sa_end : ref_end;
+              const int64_t Rt = prim_first ? sa_tid : tid;
+              const bool a1L = edge_in_window(Lp, Le, Lt, vp.tid_a,
+                                              vp.pos_a, vp.cia0, vp.cia1,
+                                              vp.o1);
+              const bool a1R = edge_in_window(Rp, Re, Rt, vp.tid_b,
+                                              vp.pos_b, vp.cib0, vp.cib1,
+                                              vp.o2);
+              const bool a2L = edge_in_window(Lp, Le, Lt, vp.tid_b,
+                                              vp.pos_b, vp.cib0, vp.cib1,
+                                              vp.o2);
+              const bool a2R = edge_in_window(Rp, Re, Rt, vp.tid_a,
+                                              vp.pos_a, vp.cia0, vp.cia1,
+                                              vp.o1);
+              const bool use1 = (int)a1L + (int)a1R >= (int)a2L + (int)a2R;
+              const bool lhit = sa_ok && (use1 ? a1L : a2L);
+              const bool rhit = sa_ok && (use1 ? a1R : a2R);
+              const bool hit_a = edge_in_window(pos, ref_end, tid, vp.tid_a,
+                                                vp.pos_a, vp.cia0, vp.cia1,
+                                                vp.o1);
+              const bool hit_b = edge_in_window(pos, ref_end, tid, vp.tid_b,
+                                                vp.pos_b, vp.cib0, vp.cib1,
+                                                vp.o2);
+              const bool clip_a =
+                  (!vp.o1 && rsoft > 0 && hit_a) || (vp.o1 && lsoft > 0 && hit_a);
+              const bool clip_b =
+                  (!vp.o2 && rsoft > 0 && hit_b) || (vp.o2 && lsoft > 0 && hit_b);
+              const bool clip_hit = !sa.present && (lsoft > 0 || rsoft > 0) &&
+                                    (clip_a || clip_b);
+              cb->c_rflags.push_back(
+                  (uint8_t)(covhit * R_COVHIT + clip_hit * R_CLIPHIT +
+                            lhit * R_LHIT + rhit * R_RHIT +
+                            prim_first * R_PRIMFIRST));
+            }
           }
           if ((flag & 0x1) && !(flag & 0x8)) {  // paired, mate mapped
             bool ins;
@@ -1506,6 +1629,37 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
         cb->p_brev.push_back(b->rev);
         cb->p_amapq.push_back(a->mapq);
         cb->p_bmapq.push_back(b->mapq);
+        if (compact) {
+          // extract.compact_chunk pair predicates, scalar form
+          const int32_t ma = T->min_aligned;
+          const bool ref_a = pair_straddle(
+              a, b, vp.tid_a, vp.pos_a, vp.cia0, vp.cia1, vp.tid_a,
+              vp.pos_a, vp.cia0, vp.cia1, false, true, ma);
+          const bool ref_b = pair_straddle(
+              a, b, vp.tid_b, vp.pos_b, vp.cib0, vp.cib1, vp.tid_b,
+              vp.pos_b, vp.cib0, vp.cib1, false, true, ma);
+          const bool ref_gate =
+              (ref_a || ref_b) && (!(ref_a && ref_b) || vp.is_del);
+          const uint8_t refw = ref_gate ? (uint8_t)ref_a + (uint8_t)ref_b : 0;
+          const bool alt = pair_straddle(
+              a, b, vp.tid_a, vp.pos_a, vp.cia0, vp.cia1, vp.tid_b,
+              vp.pos_b, vp.cib0, vp.cib1, vp.o1, vp.o2, ma);
+          const bool alt_rec =
+              vp.is_inv && pair_straddle(a, b, vp.tid_a, vp.pos_a, vp.cia0,
+                                         vp.cia1, vp.tid_b, vp.pos_b,
+                                         vp.cib0, vp.cib1, !vp.o1, !vp.o2,
+                                         ma);
+          cb->p_flags.push_back(
+              (uint8_t)(alt * P_ALT + alt_rec * P_ALTREC + refw * 4));
+          // i32 wrap matches numpy's np.subtract(dtype=int32)
+          cb->p_ospan.push_back((int32_t)((uint32_t)b->end - (uint32_t)a->pos));
+          if (a->lib >= LIB_INVALID) {
+            *err = "compact wire supports < 255 libraries";
+            return false;
+          }
+          cb->p_libu8.push_back(
+              a->lib < 0 ? LIB_INVALID : (uint8_t)a->lib);
+        }
       }
     }
     q = q1;
@@ -1538,6 +1692,8 @@ long svt_fetch_chunk(void* vh,
                      int32_t min_aligned,
                      int64_t max_reads,
                      int32_t n_threads,
+                     const int32_t* v_i32, const uint8_t* v_u8,
+                     int64_t v_stride,
                      int64_t* out_n_cand, int64_t* out_n_pair,
                      uint8_t* var_over, int64_t* var_rows,
                      int64_t* out_scanned) {
@@ -1564,7 +1720,8 @@ long svt_fetch_chunk(void* vh,
   ChunkTask task{h, region_tid, region_start, region_end, range_off,
                  range_beg, range_end_, var_of_query, drop_flags, rg_keep,
                  rg_to_lib, n_rg_tab, cov_tid_a, cov_pos_a, cov_tid_b,
-                 cov_pos_b, min_aligned, max_reads, var_over, var_rows};
+                 cov_pos_b, min_aligned, max_reads, var_over, var_rows,
+                 v_i32, v_u8, v_stride};
   std::vector<int64_t> scans(T, 0);
   std::vector<std::string> errs(T);
   std::vector<char> oks(T, 1);
@@ -1648,6 +1805,47 @@ long svt_chunk_export(void* vh, int32_t* r_i32, uint8_t* r_u8,
         memcpy(p_u8 + (int64_t)k * p_stride + po, pu8[k], m);
       po += (int64_t)m;
     }
+  }
+  return 0;
+}
+
+// Copy the compact-wire tables of the last svt_fetch_chunk (run with
+// v_i32/v_u8 predicate tables) into padded matrices. Row layout matches
+// extract.COMPACT_KEYS: cr_u16 = [var], cr_u8 = [mapq, sa_mapq, rflags],
+// cp_u16 = [var], cp_i32 = [ospan], cp_u8 = [a_mapq, b_mapq, lib, pflags].
+// Caller owns padding rows (see extract.prepare_compact_chunk).
+long svt_chunk_export_compact(void* vh, uint16_t* cr_u16, uint8_t* cr_u8,
+                              int64_t r_stride, uint16_t* cp_u16,
+                              int32_t* cp_i32, uint8_t* cp_u8,
+                              int64_t p_stride) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  int64_t co = 0, po = 0;
+  for (auto& cb : h->chunk_bufs) {
+    const size_t n = cb.c_var.size();
+    if (cb.c_rflags.size() != n || cb.p_flags.size() != cb.p_var.size()) {
+      std::lock_guard<std::mutex> g(g_err_mu);
+      h->error = "fetch_chunk was not run in compact mode";
+      return -1;
+    }
+    for (size_t i = 0; i < n; i++)
+      cr_u16[co + (int64_t)i] = (uint16_t)cb.c_var[i];
+    if (n) {
+      memcpy(cr_u8 + 0 * r_stride + co, cb.c_mapq.data(), n);
+      memcpy(cr_u8 + 1 * r_stride + co, cb.c_samapq.data(), n);
+      memcpy(cr_u8 + 2 * r_stride + co, cb.c_rflags.data(), n);
+    }
+    co += (int64_t)n;
+    const size_t m = cb.p_var.size();
+    for (size_t i = 0; i < m; i++)
+      cp_u16[po + (int64_t)i] = (uint16_t)cb.p_var[i];
+    if (m) {
+      memcpy(cp_i32 + po, cb.p_ospan.data(), m * 4);
+      memcpy(cp_u8 + 0 * p_stride + po, cb.p_amapq.data(), m);
+      memcpy(cp_u8 + 1 * p_stride + po, cb.p_bmapq.data(), m);
+      memcpy(cp_u8 + 2 * p_stride + po, cb.p_libu8.data(), m);
+      memcpy(cp_u8 + 3 * p_stride + po, cb.p_flags.data(), m);
+    }
+    po += (int64_t)m;
   }
   return 0;
 }

@@ -406,6 +406,7 @@ class BamFile:
         n_var: int,
         filt,
         max_reads: Optional[int] = None,
+        vpred: Optional[Tuple["np.ndarray", "np.ndarray"]] = None,
     ):
         """Decode + full device-chunk layout in one native call (see
         bamcore.cpp::svt_fetch_chunk). ``var_of[i]`` is region *i*'s
@@ -415,16 +416,25 @@ class BamFile:
         copies the tables into caller-allocated padded matrices, or
         None when the native core is unavailable (caller falls back to
         the numpy layout).
+
+        With ``vpred = (v_i32, v_u8)`` the decode threads also compute
+        the compact-wire predicate flags; ``export`` is then
+        ``export(cr_u16, cr_u8, cp_u16, cp_i32, cp_u8)``
+        (native.chunk_export_compact).
         """
         native = self._get_native()
         if native is None or not hasattr(native._lib, "svt_fetch_chunk"):
+            return None
+        if vpred is not None and not hasattr(
+            native._lib, "svt_chunk_export_compact"
+        ):
             return None
         pre = self._prep_ranges(regions)
         if pre is None:
             empty = np.zeros(n_var, dtype=np.uint8)
             rows = np.zeros(n_var, dtype=np.int64)
 
-            def export_empty(r_i32, r_u8, p_i32, p_i16, p_u8):
+            def export_empty(*mats):
                 return None
 
             return 0, 0, empty, rows, export_empty
@@ -435,9 +445,13 @@ class BamFile:
         )
         n_cand, n_pair, var_over, var_rows = native.fetch_chunk(
             rt, rs, re_, ro, rb, rn, vq, n_var, nfilt,
-            max_reads=max_reads, threads=self._threads,
+            max_reads=max_reads, threads=self._threads, vpred=vpred,
         )
-        return n_cand, n_pair, var_over, var_rows, native.chunk_export
+        export = (
+            native.chunk_export_compact if vpred is not None
+            else native.chunk_export
+        )
+        return n_cand, n_pair, var_over, var_rows, export
 
     def scan(
         self,

@@ -136,6 +136,8 @@ def get_lib():
             C.POINTER(C.c_int64), C.POINTER(C.c_int64),
             C.POINTER(C.c_int64), C.POINTER(C.c_int64),
             C.c_int32, C.c_int64, C.c_int32,
+            # compact predicate tables (NULL → flags not computed)
+            C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
             C.POINTER(C.c_int64), C.POINTER(C.c_int64),
             C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
             C.POINTER(C.c_int64),
@@ -145,6 +147,13 @@ def get_lib():
             C.c_void_p,
             C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
             C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.POINTER(C.c_uint8),
+            C.c_int64,
+        ]
+        lib.svt_chunk_export_compact.restype = C.c_long
+        lib.svt_chunk_export_compact.argtypes = [
+            C.c_void_p,
+            C.POINTER(C.c_uint16), C.POINTER(C.c_uint8), C.c_int64,
+            C.POINTER(C.c_uint16), C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
             C.c_int64,
         ]
         lib.svt_decode.restype = C.c_long
@@ -550,12 +559,18 @@ class NativeBam:
         filt: "FetchFilter",
         max_reads: Optional[int] = None,
         threads: int = 1,
+        vpred: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     ) -> Tuple[int, int, np.ndarray, np.ndarray]:
         """Decode + full device-chunk layout in C++ (bamcore
         svt_fetch_chunk): candidate-read selection, multi-window dedup,
         fragment pairing and max_reads capping all happen inside the
         decode pass. Returns ``(n_cand, n_pair, var_over, var_rows)``;
         copy the tables out with :meth:`chunk_export`.
+
+        ``vpred = (v_i32 [9, n_var], v_u8 [6, n_var])`` additionally
+        evaluates the compact-wire predicates at emission (GIL-free,
+        inside the decode threads); copy them out with
+        :meth:`chunk_export_compact`.
         """
         rt = np.ascontiguousarray(region_tid, dtype=np.int64)
         rs = np.ascontiguousarray(region_start, dtype=np.int64)
@@ -591,6 +606,15 @@ class NativeBam:
         nscan = C.c_int64(0)
         var_over = np.zeros(n_var, dtype=np.uint8)
         var_rows = np.zeros(n_var, dtype=np.int64)
+        if vpred is not None:
+            v_i32, v_u8 = vpred
+            assert v_i32.flags.c_contiguous and v_u8.flags.c_contiguous
+            vp_i32 = v_i32.ctypes.data_as(C.POINTER(C.c_int32))
+            vp_u8 = v_u8.ctypes.data_as(C.POINTER(C.c_uint8))
+            vp_stride = v_i32.shape[1]
+        else:
+            vp_i32 = vp_u8 = None
+            vp_stride = 0
         rc = self._lib.svt_fetch_chunk(
             self._h, len(rt),
             i64p(rt), i64p(rs), i64p(re_), i64p(ro),
@@ -603,6 +627,7 @@ class NativeBam:
             filt.min_aligned,
             -1 if max_reads is None else int(max_reads),
             max(int(threads), 1),
+            vp_i32, vp_u8, vp_stride,
             C.byref(n_cand), C.byref(n_pair),
             var_over.ctypes.data_as(C.POINTER(C.c_uint8)),
             var_rows.ctypes.data_as(C.POINTER(C.c_int64)),
@@ -636,6 +661,33 @@ class NativeBam:
             p_u8.ctypes.data_as(C.POINTER(C.c_uint8)),
             p_i32.shape[1],
         )
+
+    def chunk_export_compact(
+        self,
+        cr_u16: np.ndarray,
+        cr_u8: np.ndarray,
+        cp_u16: np.ndarray,
+        cp_i32: np.ndarray,
+        cp_u8: np.ndarray,
+    ) -> None:
+        """Copy the last fetch_chunk's compact-wire tables (requires the
+        fetch to have run with ``vpred``) into padded matrices."""
+        assert cr_u8.flags.c_contiguous and cp_u8.flags.c_contiguous
+        rc = self._lib.svt_chunk_export_compact(
+            self._h,
+            cr_u16.ctypes.data_as(C.POINTER(C.c_uint16)),
+            cr_u8.ctypes.data_as(C.POINTER(C.c_uint8)),
+            cr_u8.shape[1],
+            cp_u16.ctypes.data_as(C.POINTER(C.c_uint16)),
+            cp_i32.ctypes.data_as(C.POINTER(C.c_int32)),
+            cp_u8.ctypes.data_as(C.POINTER(C.c_uint8)),
+            cp_u8.shape[1],
+        )
+        if rc == -1:
+            raise ValueError(
+                self._lib.svt_error(self._h).decode()
+                or "chunk_export_compact error"
+            )
 
     def build_fineidx(
         self, body_voffset: int, g_shift: int, ref_lens: List[int]

@@ -324,21 +324,15 @@ def _bucket(n: int, floor: int = 256) -> int:
     return b
 
 
-def prepare_chunk(
+def _chunk_preamble(
     sample: Sample,
     bps: List[Optional[Breakpoint]],
-    min_aligned: int = 20,
-    max_reads: Optional[int] = None,
-    max_ci_dist: float = 1e10,
-    z: float = Z_FLANK,
-    pad_reads: Optional[int] = None,
-    pad_pairs: Optional[int] = None,
-) -> ChunkInputs:
-    """Gather + lay out one chunk of breakpoints for one sample.
-
-    ``bps`` entries may be None (unsupported records occupying a slot for
-    output alignment); they become force_null variants with no reads.
-    """
+    min_aligned: int,
+    max_ci_dist: float,
+    z: float,
+):
+    """Shared prologue of prepare_chunk / prepare_compact_chunk:
+    typed variant columns, fetch windows, and the in-decode filter."""
     n_var = len(bps)
     name_to_tid = sample.bam.header.name_to_tid
     flank = sample.get_fetch_flank(z)
@@ -377,7 +371,7 @@ def prepare_chunk(
         if len(wins) > 1:
             any_multi_window = True
 
-    # ---- one batched fetch for every window of the chunk, with flag/RG
+    # one batched fetch for every window of the chunk, with flag/RG
     # filtering and the §4.1 coverage predicate computed inside the
     # decode loop (bamcore FetchFilter)
     reg_var_arr = np.asarray(reg_var, dtype=np.int64)
@@ -392,6 +386,101 @@ def prepare_chunk(
         cov_pos_b=variants["pos_b"][reg_var_arr].astype(np.int64),
         min_aligned=min_aligned,
         want_blocks=False,
+    )
+    return variants, regions, reg_var, reg_var_arr, any_multi_window, filt
+
+
+def _pack_variant_tables(variants: Dict[str, np.ndarray], n_var: int):
+    """Rebind the variant dict entries to rows of contiguous packed
+    matrices (v_i32 [9, n_var], v_u8 [6, n_var])."""
+    v32 = np.empty((len(VARS_I32), n_var), dtype=np.int32)
+    vu8 = np.empty((len(VARS_BOOL), n_var), dtype=np.uint8)
+    for i, name in enumerate(VARS_I32):
+        v32[i] = variants[name]
+        variants[name] = v32[i]
+    for i, name in enumerate(VARS_BOOL):
+        vu8[i] = variants[name]
+        variants[name] = vu8[i].view(np.bool_)
+    return v32, vu8
+
+
+def prepare_compact_chunk(
+    sample: Sample,
+    bps: List[Optional[Breakpoint]],
+    min_aligned: int = 20,
+    max_reads: Optional[int] = None,
+    max_ci_dist: float = 1e10,
+    z: float = Z_FLANK,
+    pad_reads: Optional[int] = None,
+    pad_pairs: Optional[int] = None,
+):
+    """One native call → compact wire matrices (extract.COMPACT_KEYS).
+
+    The decode threads evaluate the §4.1–4.3 predicates at row emission
+    (bamcore.cpp::chunk_worker compact mode — the C++ twin of
+    ``compact_chunk``; bit-identical flags, tests/test_compact.py), so
+    the host never materializes the full read/pair tables. Returns
+    ``(compact, n_var, n_ev, n_pair)`` or None when the native core is
+    unavailable (callers fall back to prepare_chunk + compact_chunk).
+    """
+    if os.environ.get("SVT_NO_FETCHCHUNK") == "1":
+        return None
+    n_var = len(bps)
+    if n_var > 0xFFFE:
+        raise ValueError("compact wire: chunk_size must be <= 65534")
+    variants, regions, reg_var, reg_var_arr, _multi, filt = _chunk_preamble(
+        sample, bps, min_aligned, max_ci_dist, z
+    )
+    v32, vu8 = _pack_variant_tables(variants, n_var)
+    res = sample.bam.fetch_chunk(
+        regions, reg_var_arr, n_var, filt, max_reads=max_reads,
+        vpred=(v32, vu8),
+    )
+    if res is None:
+        return None
+    n_ev, n_pair, var_over, _var_rows, export = res
+    r_pad = max(pad_reads or 0, _bucket(max(n_ev, 1)))
+    f_pad = max(pad_pairs or 0, _bucket(max(n_pair, 1), floor=64))
+    cr_u16 = np.full((1, r_pad), n_var, dtype=np.uint16)
+    cr_u8 = np.zeros((3, r_pad), dtype=np.uint8)
+    # numpy-twin padding: compact_chunk computes prim_first on zero rows
+    # (lead 0 <= sa_lead 0), so padding rflags carry R_PRIMFIRST
+    cr_u8[2] = R_PRIMFIRST
+    cp_u16 = np.full((1, f_pad), n_var, dtype=np.uint16)
+    cp_i32 = np.zeros((1, f_pad), dtype=np.int32)
+    cp_u8 = np.zeros((4, f_pad), dtype=np.uint8)
+    export(cr_u16, cr_u8, cp_u16, cp_i32[0], cp_u8)
+    vu8[5] |= var_over  # force_null row (VARS_BOOL order)
+    compact = {
+        "cr_u16": cr_u16,
+        "cr_u8": cr_u8,
+        "cp_u16": cp_u16,
+        "cp_i32": cp_i32,
+        "cp_u8": cp_u8,
+        "v_i32": v32,
+        "v_u8": vu8,
+    }
+    return compact, n_var, n_ev, n_pair
+
+
+def prepare_chunk(
+    sample: Sample,
+    bps: List[Optional[Breakpoint]],
+    min_aligned: int = 20,
+    max_reads: Optional[int] = None,
+    max_ci_dist: float = 1e10,
+    z: float = Z_FLANK,
+    pad_reads: Optional[int] = None,
+    pad_pairs: Optional[int] = None,
+) -> ChunkInputs:
+    """Gather + lay out one chunk of breakpoints for one sample.
+
+    ``bps`` entries may be None (unsupported records occupying a slot for
+    output alignment); they become force_null variants with no reads.
+    """
+    n_var = len(bps)
+    variants, regions, reg_var, reg_var_arr, any_multi_window, filt = (
+        _chunk_preamble(sample, bps, min_aligned, max_ci_dist, z)
     )
     # ---- fast path: decode + dedup + pairing + candidate selection all
     # inside the C++ core, exported straight into the padded device

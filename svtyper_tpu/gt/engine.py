@@ -27,6 +27,7 @@ from svtyper_tpu.evidence.extract import (
     VARS_BOOL,
     compact_chunk,
     prepare_chunk,
+    prepare_compact_chunk,
 )
 from svtyper_tpu.models.bayes import GT_STRINGS, GenotypeResult
 from svtyper_tpu.ops.gl import genotype_batch, log_choose_table
@@ -300,9 +301,13 @@ class TpuEngine:
 
     def _prepare(self, bps: List[Optional[Breakpoint]]):
         """Host-only stage: fetch + layout for one chunk → per-sample
-        packed payloads. Runs on a single prep thread (the native chunk
+        ChunkInputs. Runs on a single prep thread (the native chunk
         arena is one-in-flight per BAM handle); the C++ decode inside
-        releases the GIL and fans out over its own threads."""
+        releases the GIL and fans out over its own threads. The numpy
+        predicate pass (``compact_chunk``) deliberately does NOT happen
+        here — it runs in ``_send`` on the main thread, overlapping the
+        GIL-free native fetch of the next chunk (prep was the pipeline
+        ceiling; see BASELINE.md round-3 progression)."""
         t0 = time.time()
         n_real = len(bps)
         # constant chunk geometry: pad short chunks with absent variants
@@ -314,6 +319,29 @@ class TpuEngine:
         for si, sample in enumerate(self.samples):
             if self.n_dev > 1:
                 payloads.append(self._prepare_sharded(sample, bps))
+                continue
+            res = prepare_compact_chunk(
+                sample,
+                bps,
+                min_aligned=self.min_aligned,
+                max_reads=self.max_reads,
+                max_ci_dist=self.max_ci_dist,
+                pad_reads=self._hw_reads,
+                pad_pairs=self._hw_pairs,
+            )
+            if res is not None:
+                # native fast path: predicates evaluated inside the
+                # decode threads; the wire is ready as-is
+                compact, n_var, n_ev, n_pair = res
+                self._hw_reads = max(
+                    self._hw_reads, compact["cr_u16"].shape[1]
+                )
+                self._hw_pairs = max(
+                    self._hw_pairs, compact["cp_u16"].shape[1]
+                )
+                self.stats["reads"] += n_ev
+                self.stats["pairs"] += n_pair
+                payloads.append((("compact", compact), n_var))
                 continue
             chunk = prepare_chunk(
                 sample,
@@ -332,9 +360,7 @@ class TpuEngine:
             self.stats["pairs"] += int(
                 np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
             )
-            payloads.append(
-                (compact_chunk(chunk, self.min_aligned), chunk.n_var)
-            )
+            payloads.append((chunk, chunk.n_var))
         self.stats["prep_s"] += time.time() - t0
         self.stats["chunks"] += 1
         self.stats["variants"] += n_real
@@ -346,10 +372,30 @@ class TpuEngine:
         into rectangular [D, ...] arrays."""
         n_shard = self.chunk_size // self.n_dev
         shards = []
+        widths = []
         for d in range(self.n_dev):
+            shard_bps = bps[d * n_shard : (d + 1) * n_shard]
+            res = prepare_compact_chunk(
+                sample,
+                shard_bps,
+                min_aligned=self.min_aligned,
+                max_reads=self.max_reads,
+                max_ci_dist=self.max_ci_dist,
+                pad_reads=self._hw_reads,
+                pad_pairs=self._hw_pairs,
+            )
+            if res is not None:
+                compact, n_var, n_ev, n_pair = res
+                shards.append((compact, n_var))
+                widths.append(
+                    (compact["cr_u16"].shape[1], compact["cp_u16"].shape[1])
+                )
+                self.stats["reads"] += n_ev
+                self.stats["pairs"] += n_pair
+                continue
             chunk = prepare_chunk(
                 sample,
-                bps[d * n_shard : (d + 1) * n_shard],
+                shard_bps,
                 min_aligned=self.min_aligned,
                 max_reads=self.max_reads,
                 max_ci_dist=self.max_ci_dist,
@@ -357,26 +403,22 @@ class TpuEngine:
                 pad_pairs=self._hw_pairs,
             )
             shards.append(chunk)
+            widths.append(
+                (len(chunk.reads["var"]), len(chunk.pairs["var"]))
+            )
             self.stats["reads"] += int(
                 np.count_nonzero(chunk.reads["var"] < chunk.n_var)
             )
             self.stats["pairs"] += int(
                 np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
             )
-        r_pad = max(len(c.reads["var"]) for c in shards)
-        f_pad = max(len(c.pairs["var"]) for c in shards)
+        r_pad = max(w[0] for w in widths)
+        f_pad = max(w[1] for w in widths)
         self._hw_reads = max(self._hw_reads, r_pad)
         self._hw_pairs = max(self._hw_pairs, f_pad)
-        compacts = [
-            _repad_compact(
-                compact_chunk(c, self.min_aligned), r_pad, f_pad, c.n_var
-            )
-            for c in shards
-        ]
-        stacks = {
-            k: np.stack([p[k] for p in compacts]) for k in COMPACT_KEYS
-        }
-        return (stacks, None)
+        # compact + stack happens in _send (same overlap rationale as
+        # the single-device path)
+        return ((shards, r_pad, f_pad), None)
 
     def _send(self, payloads):
         """Device stage: host→device transfer + async step dispatch
@@ -388,7 +430,26 @@ class TpuEngine:
         trace time for free)."""
         t0 = time.time()
         arrs = []
-        for si, (packed, n_var) in enumerate(payloads):
+        for si, (payload, n_var) in enumerate(payloads):
+            if self.n_dev > 1:
+                shards, r_pad, f_pad = payload
+                compacts = [
+                    _repad_compact(
+                        c[0] if isinstance(c, tuple)
+                        else compact_chunk(c, self.min_aligned),
+                        r_pad, f_pad,
+                        c[1] if isinstance(c, tuple) else c.n_var,
+                    )
+                    for c in shards
+                ]
+                packed = {
+                    k: np.stack([p[k] for p in compacts])
+                    for k in COMPACT_KEYS
+                }
+            elif isinstance(payload, tuple) and payload[0] == "compact":
+                packed = payload[1]
+            else:
+                packed = compact_chunk(payload, self.min_aligned)
             wire, geom = pack_wire(packed, multi=self.n_dev > 1)
             if self.n_dev > 1:
                 arrs.append(
