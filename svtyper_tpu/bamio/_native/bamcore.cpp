@@ -1237,7 +1237,7 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
                          std::string* err) {
   SvtBam* h = T->h;
   VStream vs{h, 0, 0};
-  std::vector<uint8_t> rec, aux;
+  std::vector<uint8_t> rec;  // block-spanning record fallback only
   GenMap gmap, voset;
   std::vector<PairGroup> groups;
   std::vector<std::pair<uint64_t, int32_t>> order;
@@ -1297,80 +1297,74 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
           if (!vs.ensure()) break;
           uint64_t vo = vs.voffset();
           if (vo >= stop) break;
-          uint8_t szb[4];
-          if (!vs.read(szb, 4)) break;
-          int32_t block_size;
-          memcpy(&block_size, szb, 4);
-          if (block_size < 32) {
-            *err = "bad record size";
-            return false;
+          // whole-record view: nearly every record sits inside one
+          // inflated block, so parse in place — zero per-record
+          // VStream calls and zero copies. The block outlives the
+          // iteration (ubp shared_ptr). Records spanning blocks fall
+          // back to one copy into ``rec``.
+          int32_t block_size = 0;
+          const uint8_t* rp = nullptr;
+          {
+            const std::vector<uint8_t>& blk = vs.ub();
+            const size_t avail = blk.size() - vs.uoffset;
+            if (avail >= 4) {
+              memcpy(&block_size, blk.data() + vs.uoffset, 4);
+              if (block_size >= 32 && 4 + (size_t)block_size <= avail) {
+                rp = blk.data() + vs.uoffset + 4;
+                vs.uoffset += 4 + (size_t)block_size;
+              }
+            }
           }
-          uint8_t hdr[32];
-          if (!vs.read(hdr, 32)) {
-            *err = "truncated record";
-            return false;
+          if (rp == nullptr) {
+            uint8_t szb[4];
+            if (!vs.read(szb, 4)) break;
+            memcpy(&block_size, szb, 4);
+            if (block_size < 32) {
+              *err = "bad record size";
+              return false;
+            }
+            rec.resize((size_t)block_size);
+            if (!vs.read(rec.data(), (size_t)block_size)) {
+              *err = "truncated record";
+              return false;
+            }
+            rp = rec.data();
           }
-          size_t rest = (size_t)block_size - 32;
-          int32_t tid, pos, l_seq, mtid, mpos, tlen;
-          memcpy(&tid, hdr, 4);
-          memcpy(&pos, hdr + 4, 4);
-          uint8_t l_rn = hdr[8], mapq = hdr[9];
+          int32_t tid, pos, l_seq, mtid, mpos;
+          memcpy(&tid, rp, 4);
+          memcpy(&pos, rp + 4, 4);
+          uint8_t l_rn = rp[8], mapq = rp[9];
           uint16_t n_cig, flag;
-          memcpy(&n_cig, hdr + 12, 2);
-          memcpy(&flag, hdr + 14, 2);
-          memcpy(&l_seq, hdr + 16, 4);
-          memcpy(&mtid, hdr + 20, 4);
-          memcpy(&mpos, hdr + 24, 4);
-          memcpy(&tlen, hdr + 28, 4);
-          (void)tlen;
+          memcpy(&n_cig, rp + 12, 2);
+          memcpy(&flag, rp + 14, 2);
+          memcpy(&l_seq, rp + 16, 4);
+          memcpy(&mtid, rp + 20, 4);
+          memcpy(&mpos, rp + 24, 4);
           scanned++;
           if (tid != rtid || pos >= rhi) break;  // coordinate-sorted
-          if ((flag & 0x4) || (flag & T->drop_flags)) {
-            if (!vs.skip(rest)) break;
-            continue;
-          }
-          size_t head_len = (size_t)l_rn + 4ull * n_cig;
-          size_t sq_len = ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
-          if (head_len + sq_len > rest) {
+          if ((flag & 0x4) || (flag & T->drop_flags)) continue;
+          const size_t head_len = (size_t)l_rn + 4ull * n_cig;
+          const size_t sq_len = ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+          if (32 + head_len + sq_len > (size_t)block_size) {
             *err = "bad record layout";
             return false;
           }
-          rec.resize(head_len);
-          if (!vs.read(rec.data(), head_len)) {
-            *err = "truncated record";
-            return false;
-          }
-          rest -= head_len;
-          // lean refspan pre-skip (records left of the window)
-          {
-            int64_t span = 0;
-            size_t coff = l_rn;
-            for (uint16_t i = 0; i < n_cig; i++) {
-              uint32_t cv;
-              memcpy(&cv, rec.data() + coff, 4);
-              coff += 4;
-              if (OP_CR & (1u << (cv & 0xF))) span += (int64_t)(cv >> 4);
-            }
-            if (pos + span <= rlo) {
-              if (!vs.skip(rest)) break;
-              continue;
-            }
-          }
-          const uint8_t* qname = rec.data();
+          const uint8_t* qname = rp + 32;
           size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
-          size_t off = l_rn;
+          const uint8_t* cig = rp + 32 + l_rn;
 
+          // single cigar walk: ref span, clips, and breakpoint
+          // coverage in one pass (left-of-window records drop on the
+          // ref_end test below — no separate pre-skip walk)
           int32_t cur = pos, ref_aln = 0;
           int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
           int64_t cov_acc_a = 0, cov_acc_b = 0;
           {
-            size_t coff = off;
             bool leading = true;
             int32_t trail_clip = 0, trail_soft = 0;
             for (uint16_t i = 0; i < n_cig; i++) {
               uint32_t cv;
-              memcpy(&cv, rec.data() + coff, 4);
-              coff += 4;
+              memcpy(&cv, cig + 4ull * i, 4);
               uint32_t op = cv & 0xF, len = cv >> 4;
               bool is_clip = (op == 4 || op == 5);
               if (is_clip) {
@@ -1406,22 +1400,14 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
             rsoft = trail_soft;
           }
           const int32_t ref_end = cur;
-          if (ref_end <= rlo) {
-            if (!vs.skip(rest)) break;
-            continue;
-          }
-          if (!vs.skip(sq_len)) break;
-          rest -= sq_len;
-          aux.resize(rest);
-          if (rest && !vs.read(aux.data(), rest)) {
-            *err = "truncated record";
-            return false;
-          }
+          if (ref_end <= rlo) continue;
+          const uint8_t* aux = rp + 32 + head_len + sq_len;
+          const size_t aux_len = (size_t)block_size - 32 - head_len - sq_len;
 
           int32_t lib = -1;
           SaInfo sa;
           {
-            size_t p = 0, end_ = aux.size();
+            size_t p = 0, end_ = aux_len;
             bool got_rg = false, got_sa = false;
             while (p + 3 <= end_ && !(got_rg && got_sa)) {
               uint8_t t0 = aux[p], t1 = aux[p + 1], typ = aux[p + 2];
@@ -1435,17 +1421,19 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
                   while (z < end_ && aux[z]) z++;
                   if (t0 == 'R' && t1 == 'G' && typ == 'Z') {
                     got_rg = true;
-                    std::string val((const char*)aux.data() + p, z - p);
+                    const size_t vlen = z - p;
                     for (int32_t g = 0; g < h->n_rg_cached; g++) {
-                      if (val == h->rg_cache[g]) {
+                      const std::string& rg = h->rg_cache[g];
+                      if (rg.size() == vlen &&
+                          memcmp(rg.data(), aux + p, vlen) == 0) {
                         lib = g;
                         break;
                       }
                     }
                   } else if (t0 == 'S' && t1 == 'A' && typ == 'Z') {
                     got_sa = true;
-                    const uint8_t* s = aux.data() + p;
-                    const uint8_t* send = aux.data() + z;
+                    const uint8_t* s = aux + p;
+                    const uint8_t* send = aux + z;
                     const uint8_t* semi = s;
                     while (semi < send && *semi != ';') semi++;
                     parse_sa_cached(h, s, semi, &sa);
@@ -1460,7 +1448,7 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
                   }
                   uint8_t sub = aux[p];
                   uint32_t cnt;
-                  memcpy(&cnt, aux.data() + p + 1, 4);
+                  memcpy(&cnt, aux + p + 1, 4);
                   size_t esz = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
                                : (sub == 's' || sub == 'S')             ? 2
                                                                         : 4;
