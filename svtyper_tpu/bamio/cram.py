@@ -809,10 +809,9 @@ class CramFile:
             off += ch.hdr_size + ch.length
         return offs
 
-    def _decode_container(self, off: int) -> ReadBatch:
-        cached = self._container_cache.get(off)
-        if cached is not None:
-            return cached
+    def _iter_container_records(self, off: int):
+        """Yield the decoded record dicts of one container in ordinal
+        order (shared by :meth:`_decode_container` / :meth:`raw_records`)."""
         buf = self._buf
         ch = ContainerHeader.parse(buf, off)
         body = off + ch.hdr_size
@@ -821,9 +820,6 @@ class CramFile:
         if comp_blk["ctype"] != CT_COMP_HEADER:
             raise ValueError("expected compression header block")
         comp = CompressionHeader.parse(comp_blk["data"])
-        cols = _Cols()
-        name_to_tid = self.header.name_to_tid
-        rec_ordinal = 0  # per-container, spans slices
         # remaining blocks: slices (header + its n_blocks data blocks)
         end = body + ch.length
         while pos < end:
@@ -835,25 +831,34 @@ class CramFile:
             for _ in range(sh.n_blocks):
                 b, pos = read_block(buf, pos)
                 blocks.append(b)
-            for r in _SliceDecoder(comp, sh, blocks).decode_records():
-                rg_id = b""
-                if 0 <= r["rg"] < len(self.header.read_groups):
-                    rg_id = self.header.read_groups[r["rg"]].get(
-                        "ID", ""
-                    ).encode()
-                sa = r["tags"].get(b"SAZ")
-                # synthetic per-read voffset: container offset + ordinal
-                # (dedup/identity key downstream; CRAM has no per-record
-                # virtual offset). 24 ordinal bits cover any realistic
-                # container; collisions would need > 16M records in one.
-                append_read(
-                    cols, name_to_tid, self.rg_index,
-                    r["ref_id"], r["pos"], r["bf"], r["mapq"], r["tlen"],
-                    r["mate_ref"], r["mate_pos"], r["qname"], r["cigar"],
-                    r["rl"], rg_id if rg_id else None,
-                    sa if sa else None, (off << 24) | rec_ordinal,
-                )
-                rec_ordinal += 1
+            yield from _SliceDecoder(comp, sh, blocks).decode_records()
+
+    def _decode_container(self, off: int) -> ReadBatch:
+        cached = self._container_cache.get(off)
+        if cached is not None:
+            return cached
+        cols = _Cols()
+        name_to_tid = self.header.name_to_tid
+        rec_ordinal = 0  # per-container, spans slices
+        for r in self._iter_container_records(off):
+            rg_id = b""
+            if 0 <= r["rg"] < len(self.header.read_groups):
+                rg_id = self.header.read_groups[r["rg"]].get(
+                    "ID", ""
+                ).encode()
+            sa = r["tags"].get(b"SAZ")
+            # synthetic per-read voffset: container offset + ordinal
+            # (dedup/identity key downstream; CRAM has no per-record
+            # virtual offset). 24 ordinal bits cover any realistic
+            # container; collisions would need > 16M records in one.
+            append_read(
+                cols, name_to_tid, self.rg_index,
+                r["ref_id"], r["pos"], r["bf"], r["mapq"], r["tlen"],
+                r["mate_ref"], r["mate_pos"], r["qname"], r["cigar"],
+                r["rl"], rg_id if rg_id else None,
+                sa if sa else None, (off << 24) | rec_ordinal,
+            )
+            rec_ordinal += 1
         batch = cols.to_batch()
         if len(self._container_cache) >= 4:  # small LRU-ish cache
             self._container_cache.pop(next(iter(self._container_cache)))
@@ -973,10 +978,53 @@ class CramFile:
         return self._mapped_unmapped
 
     def raw_records(self, voffsets):
-        raise NotImplementedError(
-            "-w/--write_alignment requires BAM input (CRAM is a read "
-            "compatibility path)"
-        )
+        """BAM record bytes for ``-w/--write_alignment`` (reference
+        ``classic.py::write_alignment`` gets this free from htslib).
+
+        CRAM stores bases/qualities as reference deltas this reader
+        never reconstructs (it decodes only alignment geometry), so the
+        emitted records carry no SEQ/QUAL (``l_seq=0`` — the BAM '*'
+        form). Name, FLAG, position, MAPQ, CIGAR, mate, TLEN, and all
+        aux tags are exact.
+        """
+        from collections import defaultdict
+
+        by_cont = defaultdict(list)
+        for slot, vo in enumerate(voffsets):
+            by_cont[int(vo) >> 24].append((int(vo) & 0xFFFFFF, slot))
+        out: List[bytes] = [b""] * len(voffsets)
+        for off, wants in by_cont.items():
+            recs = list(self._iter_container_records(off))
+            for ordi, slot in wants:
+                out[slot] = _rec_to_bam_bytes(recs[ordi])
+        return out
+
+
+def _rec_to_bam_bytes(r: dict) -> bytes:
+    """Encode one decoded CRAM record as a seq-less BAM record body
+    (no leading block_size; see :meth:`CramFile.raw_records`)."""
+    from svtyper_tpu.bamio.writer import _reg2bin_for
+
+    name = (r["qname"] or b"*") + b"\x00"
+    cigar = r["cigar"] if not (r["bf"] & FUNMAP) else []
+    span = sum(ln for op, ln in cigar if op in (OP_M, OP_D, OP_N))
+    pos = r["pos"]
+    bin_ = _reg2bin_for(pos, pos + max(span, 1)) if pos >= 0 else 4680
+    body = bytearray()
+    body += struct.pack(
+        "<iiBBHHHIiii",
+        r["ref_id"], pos, len(name), r["mapq"], bin_, len(cigar),
+        r["bf"] & 0xFFFF, 0, r["mate_ref"], r["mate_pos"], r["tlen"],
+    )
+    body += name
+    for op, ln in cigar:
+        body += struct.pack("<I", (ln << 4) | op)
+    for key, val in r["tags"].items():
+        body += key  # 2-byte tag + 1-byte type, BAM form
+        body += val
+        if key[2:3] in (b"Z", b"H"):
+            body += b"\x00"  # re-append the NUL decode_records strips
+    return bytes(body)
 
 
 def _refs_from_text(text: str) -> List[Tuple[str, int]]:

@@ -189,3 +189,43 @@ def test_cli_cram_output_matches_bam(pair, tmp_path):
         with open(out, "rb") as fh:
             outs[label] = fh.read()
     assert outs["bam"] == outs["cram"]
+
+
+def test_cli_cram_write_alignment(pair, tmp_path):
+    """-w with CRAM input: evidence reads come back as a valid indexed
+    BAM whose alignment geometry matches the BAM-input -w output
+    (CRAM raw_records emits seq-less records — cram.py docstring)."""
+    import subprocess
+    import sys
+
+    bam, cram, d = pair
+    vcf = os.path.join(d, "ev.vcf")
+    if not os.path.exists(vcf):
+        with open(vcf, "w") as fh:
+            fh.write(events_to_vcf(EVENTS, REFS))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_X64"] = "1"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    evid = {}
+    for label, path in (("bam", bam), ("cram", cram)):
+        out = str(tmp_path / ("%s.vcf" % label))
+        w = str(tmp_path / ("%s.evidence.bam" % label))
+        r = subprocess.run(
+            [sys.executable, "-m", "svtyper_tpu.cli.classic",
+             "-i", vcf, "-B", path, "-o", out, "-n", "100000", "-w", w],
+            env=env, capture_output=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        eb = BamFile(w, use_native=False)
+        batch = eb.head(10**9)
+        assert batch.n > 0
+        evid[label] = set(
+            zip(batch.tid.tolist(), batch.pos.tolist(),
+                batch.flag.tolist(), batch.ref_end.tolist(),
+                batch.qname_hash.tolist())
+        )
+    assert evid["bam"] == evid["cram"]
