@@ -44,12 +44,22 @@ def reg2bins(beg: int, end: int) -> List[int]:
     return bins
 
 
+def levels_for(min_shift: int, depth: int) -> Tuple[Tuple[int, int], ...]:
+    """(shift, first-bin-id) per level 1..depth, shallow→deep — the
+    generic form of the fixed BAI table (CSI §5.1.1 binning scheme)."""
+    return tuple(
+        (min_shift + 3 * (depth - l), ((1 << (3 * l)) - 1) // 7)
+        for l in range(1, depth + 1)
+    )
+
+
 class RefIndex:
-    __slots__ = ("bins", "ioffsets", "mapped", "unmapped")
+    __slots__ = ("bins", "ioffsets", "loffsets", "mapped", "unmapped")
 
     def __init__(self) -> None:
         self.bins: Dict[int, List[Tuple[int, int]]] = {}
-        self.ioffsets: List[int] = []
+        self.ioffsets: List[int] = []          # BAI linear index
+        self.loffsets: Dict[int, int] = {}     # CSI per-bin loffset
         self.mapped = 0
         self.unmapped = 0
 
@@ -57,9 +67,9 @@ class RefIndex:
 class _RefNp:
     """Numpy form of one reference's bins for vectorized queries:
     sorted bin ids, flat chunk arrays indexed by per-bin offsets, and
-    the dense linear index."""
+    the dense linear index (BAI) / per-bin loffsets (CSI)."""
 
-    __slots__ = ("keys", "chunk_off", "cb", "ce", "ioff")
+    __slots__ = ("keys", "chunk_off", "cb", "ce", "ioff", "loff")
 
     def __init__(self, ri: RefIndex) -> None:
         items = sorted(ri.bins.items())
@@ -71,6 +81,9 @@ class _RefNp:
         self.cb = np.asarray([c[0] for c in flat], dtype=np.uint64)
         self.ce = np.asarray([c[1] for c in flat], dtype=np.uint64)
         self.ioff = np.asarray(ri.ioffsets or [0], dtype=np.uint64)
+        self.loff = np.asarray(
+            [ri.loffsets.get(b, 0) for b, _ in items], dtype=np.uint64
+        )
 
 
 def _expand_ranges(lo: np.ndarray, count: np.ndarray):
@@ -84,6 +97,9 @@ def _expand_ranges(lo: np.ndarray, count: np.ndarray):
 
 
 class BaiIndex:
+    min_shift = _LIN_SHIFT
+    depth = 5
+
     def __init__(self, refs: List[RefIndex], n_no_coor: int = 0) -> None:
         self.refs = refs
         self.n_no_coor = n_no_coor
@@ -94,6 +110,28 @@ class BaiIndex:
         if r is None:
             r = self._np[tid] = _RefNp(self.refs[tid])
         return r
+
+    def _levels(self) -> Tuple[Tuple[int, int], ...]:
+        return levels_for(self.min_shift, self.depth)
+
+    def _min_offsets(self, rn: _RefNp, b: np.ndarray) -> np.ndarray:
+        """Per-region virtual-offset lower bound for region starts
+        ``b`` — BAI: the 16 KiB-window linear index."""
+        w = np.minimum(b >> _LIN_SHIFT, len(rn.ioff) - 1)
+        return rn.ioff[w]
+
+    def _min_offset_scalar(self, ri: RefIndex, beg: int) -> int:
+        if not ri.ioffsets:
+            return 0
+        w = min(beg >> _LIN_SHIFT, len(ri.ioffsets) - 1)
+        return ri.ioffsets[w]
+
+    def _reg2bins(self, beg: int, end: int) -> List[int]:
+        end -= 1
+        bins = [0]
+        for shift, off in self._levels():
+            bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+        return bins
 
     def query_many(
         self, tids: np.ndarray, begs: np.ndarray, ends: np.ndarray
@@ -124,7 +162,7 @@ class BaiIndex:
             # candidate bins: bin 0 + one contiguous id range per level
             cand_parts = [np.zeros(len(qi), dtype=np.int64)]
             rid_parts = [np.arange(len(qi))]
-            for shift, off in _LEVELS:
+            for shift, off in self._levels():
                 lo = off + (b >> shift)
                 cnt = (e >> shift) - (b >> shift) + 1
                 vals, row = _expand_ranges(lo, cnt)
@@ -141,9 +179,8 @@ class BaiIndex:
             )
             rid = rid[crow]
             cb, ce = rn.cb[ci], rn.ce[ci]
-            # linear-index lower bound per region
-            w = np.minimum(b >> _LIN_SHIFT, len(rn.ioff) - 1)
-            mo = rn.ioff[w][rid]
+            # per-region virtual-offset lower bound
+            mo = self._min_offsets(rn, b)[rid]
             keep = ce > mo
             cb, ce, rid, mo = cb[keep], ce[keep], rid[keep], mo[keep]
             cb = np.maximum(cb, mo)
@@ -225,13 +262,9 @@ class BaiIndex:
         if tid < 0 or tid >= len(self.refs):
             return []
         ri = self.refs[tid]
-        min_off = 0
-        w = beg >> _LIN_SHIFT
-        if ri.ioffsets:
-            w = min(w, len(ri.ioffsets) - 1)
-            min_off = ri.ioffsets[w]
+        min_off = self._min_offset_scalar(ri, beg)
         chunks: List[Tuple[int, int]] = []
-        for b in reg2bins(beg, end):
+        for b in self._reg2bins(beg, end):
             for cb, ce in ri.bins.get(b, ()):
                 if ce > min_off:
                     chunks.append((max(cb, min_off), ce))

@@ -191,13 +191,28 @@ class BamFile:
     # -- index ------------------------------------------------------------
     @property
     def bai(self) -> BaiIndex:
+        """The region index: ``.bai``, falling back to ``.csi`` (the
+        long-contig format htslib emits past 2^29 bp — same query
+        surface, see bamio/csi.py)."""
         if self._bai is None:
             for cand in (self.path + ".bai", re.sub(r"\.bam$", ".bai", self.path)):
                 if os.path.exists(cand):
                     self._bai = BaiIndex.load(cand)
                     break
             else:
-                raise FileNotFoundError("no .bai index for %s" % self.path)
+                from svtyper_tpu.bamio.csi import CsiIndex
+
+                for cand in (
+                    self.path + ".csi",
+                    re.sub(r"\.bam$", ".csi", self.path),
+                ):
+                    if os.path.exists(cand):
+                        self._bai = CsiIndex.load(cand)
+                        break
+                else:
+                    raise FileNotFoundError(
+                        "no .bai/.csi index for %s" % self.path
+                    )
         return self._bai
 
     def idxstats(self) -> List[Tuple[str, int, int, int]]:

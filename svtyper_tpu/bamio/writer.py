@@ -38,7 +38,15 @@ def encode_record(
     n_cig = len(cigar)
     l_seq = len(seq)
     feats = CigarFeatures(pos, cigar)
-    bin_ = _reg2bin_for(pos, feats.ref_end) if pos >= 0 else 4680
+    # the record's 16-bit bin field only encodes the fixed BAI scheme;
+    # past 2^29 (CSI territory) it can't hold the true bin — write 0
+    # (readers, including this package's, index via .bai/.csi instead)
+    if pos < 0:
+        bin_ = 4680
+    elif feats.ref_end <= (1 << 29):
+        bin_ = _reg2bin_for(pos, feats.ref_end)
+    else:
+        bin_ = 0
     body = bytearray()
     body += struct.pack(
         "<iiBBHHHIiii",
@@ -91,7 +99,19 @@ class BamWriter:
         self.refs = list(refs)
         self._fh = open(path, "wb")
         self._w = BgzfWriter(self._fh)
-        self._bai = BaiBuilder(len(self.refs))
+        # BAI tops out at 2^29-1 bp; longer contigs get a CSI with a
+        # deep-enough binning scheme (htslib does the same switch)
+        max_len = max((l for _, l in self.refs), default=0)
+        if max_len >= (1 << 29):
+            from svtyper_tpu.bamio.csi import CsiBuilder, depth_for
+
+            self._bai = CsiBuilder(
+                len(self.refs), depth=depth_for(max_len)
+            )
+            self._idx_ext = ".csi"
+        else:
+            self._bai = BaiBuilder(len(self.refs))
+            self._idx_ext = ".bai"
         hdr = bytearray(b"BAM\x01")
         text = header_text.encode()
         hdr += struct.pack("<i", len(text)) + text
@@ -135,7 +155,7 @@ class BamWriter:
         self._w.close()
         self._fh.close()
         if write_index:
-            self._bai.finish().save(self.path + ".bai")
+            self._bai.finish().save(self.path + self._idx_ext)
 
 
 def make_header_text(
