@@ -141,3 +141,52 @@ def test_idxstats_via_csi(long_bam):
     )
     assert stats["chrL"] == (240, 0)
     assert stats["chrS"] == (30, 0)
+
+
+def test_cli_genotypes_past_bai_limit(tmp_path):
+    """End-to-end: events beyond 2^29 bp genotype correctly through the
+    CLI with the writer-emitted CSI index (no .bai exists)."""
+    import subprocess
+    import sys
+
+    from svtyper_tpu.simulate import (
+        Event, SimConfig, events_to_vcf, simulate_events,
+    )
+
+    refs = [("chrL", LONG)]
+    base = (1 << 29) + 1_000_000
+    events = [
+        Event("DEL", "chrL", base, base + 1_500, "0/1", var_id="L1"),
+        Event("DUP", "chrL", base + 3_000_000, base + 3_004_000, "1/1",
+              var_id="L2"),
+        Event("INV", "chrL", base + 6_000_000, base + 6_002_000, "0/0",
+              var_id="L3"),
+    ]
+    bam = str(tmp_path / "long.bam")
+    simulate_events(bam, refs, events, SimConfig(depth=20), seed=11,
+                    extra_background=300)
+    assert os.path.exists(bam + ".csi") and not os.path.exists(bam + ".bai")
+    vcf = str(tmp_path / "long.vcf")
+    with open(vcf, "w") as fh:
+        fh.write(events_to_vcf(events, refs))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    outs = {}
+    for engine in ("tpu", "oracle"):
+        out = str(tmp_path / ("%s.out.vcf" % engine))
+        r = subprocess.run(
+            [sys.executable, "-m", "svtyper_tpu.cli.classic", "-i", vcf,
+             "-B", bam, "-o", out, "-n", "100000", "--engine", engine],
+            env=env, capture_output=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        with open(out, "rb") as fh:
+            outs[engine] = fh.read()
+    assert outs["tpu"] == outs["oracle"]
+    gts = [
+        l.split(b"\t")[9].split(b":")[0]
+        for l in outs["tpu"].splitlines() if not l.startswith(b"#")
+    ]
+    assert gts == [b"0/1", b"1/1", b"0/0"], gts
