@@ -80,7 +80,10 @@ def main():
     if os.environ.get("SVT_BENCH_CHILD") == "1":
         return _measure()
     attempts = int(os.environ.get("SVT_BENCH_RETRIES", "4"))
-    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "240"))
+    # 240s covered a cached-compile run, but a wedged axon remote-compile
+    # leg can hold a FIRST compile 5+ min and then recover (observed
+    # r3); give each attempt headroom instead of burning all retries
+    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "420"))
     env = dict(os.environ, SVT_BENCH_CHILD="1")
 
     def relay_ok() -> bool:
