@@ -280,6 +280,63 @@ class BamFile:
         )
         return batch
 
+    def _prep_ranges_fine(self, regions: List[Tuple[str, int, int]]):
+        """Fine-index-only voffset ranges for ``fetch_chunk``.
+
+        The chunk decode loop early-breaks on ``tid != rtid or pos >=
+        rhi`` (coordinate-sorted file), so a region needs only a START
+        lower bound — which the fine index supplies directly (and
+        tighter than a BAI linear-index slot). The full BAI bin query
+        (`_prep_ranges`) added nothing on this path: its chunk starts
+        were clamped UP to the same fine lower bound, and its stop
+        voffsets are redundant under the coordinate break. Skipping it
+        removes the per-chunk bin expansion + interval merge from the
+        prep thread (~20% of host prep). One range per kept region;
+        ``range_end = UINT64_MAX``. Returns None when the fine index is
+        unavailable (caller falls back to `_prep_ranges`) or no region
+        has records.
+        """
+        if os.environ.get("SVT_NO_FINERANGE") == "1":
+            return None
+        fi = self._get_fineidx()
+        if fi is None:
+            return None
+        nq = len(regions)
+        tids = np.fromiter(
+            (self.header.name_to_tid.get(c, -1) for c, _, _ in regions),
+            dtype=np.int64, count=nq,
+        )
+        los = np.maximum(
+            np.fromiter((s for _, s, _ in regions), dtype=np.int64, count=nq),
+            0,
+        )
+        ref_len = np.asarray(
+            [l for _, l in self.header.refs] + [0], dtype=np.int64
+        )
+        his = np.minimum(
+            np.fromiter((e for _, _, e in regions), dtype=np.int64, count=nq),
+            ref_len[tids],
+        )
+        valid = (tids >= 0) & (his > los)
+        n_slots = np.diff(fi.slot_off)
+        safe_tid = np.where(valid, tids, 0)
+        slot = fi.slot_off[safe_tid] + np.minimum(
+            los >> fi.g_shift, np.maximum(n_slots[safe_tid] - 1, 0)
+        )
+        rb = fi.vo[slot]
+        # UINT64_MAX = no record at/after this slot anywhere in the file
+        valid &= rb != np.uint64(0xFFFFFFFFFFFFFFFF)
+        keep = np.flatnonzero(valid)
+        if not len(keep):
+            return None
+        remap = keep.astype(np.int32)
+        ro = np.arange(len(keep) + 1, dtype=np.int64)
+        rn = np.full(len(keep), 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+        return (
+            keep, remap, tids[keep], los[keep], his[keep], ro,
+            np.ascontiguousarray(rb[keep]), rn,
+        )
+
     def _prep_ranges(self, regions: List[Tuple[str, int, int]]):
         """Region list → clamped, BAI-resolved, fine-index-tightened
         voffset ranges for the native decode loops.
@@ -444,7 +501,9 @@ class BamFile:
             native._lib, "svt_chunk_export_compact"
         ):
             return None
-        pre = self._prep_ranges(regions)
+        pre = self._prep_ranges_fine(regions)
+        if pre is None:
+            pre = self._prep_ranges(regions)
         if pre is None:
             empty = np.zeros(n_var, dtype=np.uint8)
             rows = np.zeros(n_var, dtype=np.int64)
