@@ -125,6 +125,7 @@ class TpuEngine:
         self._step = self._build_step()
         self._hw_reads = 0
         self._hw_pairs = 0
+        self._sample_pool = None  # lazy; multi-sample prep fan-out
         # per-stage wall-time observability (SURVEY.md §5)
         self.stats = {
             "prep_s": 0.0,   # host: fetch + layout (prep thread)
@@ -315,52 +316,90 @@ class TpuEngine:
         # the largest shapes have been seen
         if len(bps) < self.chunk_size:
             bps = list(bps) + [None] * (self.chunk_size - len(bps))
+        if len(self.samples) > 1 and self.n_dev == 1:
+            return self._prepare_multisample(bps, n_real, t0)
         payloads = []
         for si, sample in enumerate(self.samples):
             if self.n_dev > 1:
                 payloads.append(self._prepare_sharded(sample, bps))
                 continue
-            res = prepare_compact_chunk(
-                sample,
-                bps,
-                min_aligned=self.min_aligned,
-                max_reads=self.max_reads,
-                max_ci_dist=self.max_ci_dist,
-                pad_reads=self._hw_reads,
-                pad_pairs=self._hw_pairs,
+            # native fast path inside _prepare_sample: predicates
+            # evaluated in the decode threads; the wire is ready as-is
+            entry, n_ev, n_pair, r_w, p_w = self._prepare_sample(
+                sample, bps
             )
-            if res is not None:
-                # native fast path: predicates evaluated inside the
-                # decode threads; the wire is ready as-is
-                compact, n_var, n_ev, n_pair = res
-                self._hw_reads = max(
-                    self._hw_reads, compact["cr_u16"].shape[1]
-                )
-                self._hw_pairs = max(
-                    self._hw_pairs, compact["cp_u16"].shape[1]
-                )
-                self.stats["reads"] += n_ev
-                self.stats["pairs"] += n_pair
-                payloads.append((("compact", compact), n_var))
-                continue
-            chunk = prepare_chunk(
-                sample,
-                bps,
-                min_aligned=self.min_aligned,
-                max_reads=self.max_reads,
-                max_ci_dist=self.max_ci_dist,
-                pad_reads=self._hw_reads,
-                pad_pairs=self._hw_pairs,
+            self._hw_reads = max(self._hw_reads, r_w)
+            self._hw_pairs = max(self._hw_pairs, p_w)
+            self.stats["reads"] += n_ev
+            self.stats["pairs"] += n_pair
+            payloads.append(entry)
+        self.stats["prep_s"] += time.time() - t0
+        self.stats["chunks"] += 1
+        self.stats["variants"] += n_real
+        return payloads
+
+    def _prepare_sample(self, sample: Sample, bps):
+        """Stateless single-sample prep body → ``(payload_entry, n_ev,
+        n_pair, r_width, p_width)``; the caller owns high-water /stats
+        updates (keeps this safe to run concurrently per sample)."""
+        res = prepare_compact_chunk(
+            sample,
+            bps,
+            min_aligned=self.min_aligned,
+            max_reads=self.max_reads,
+            max_ci_dist=self.max_ci_dist,
+            pad_reads=self._hw_reads,
+            pad_pairs=self._hw_pairs,
+        )
+        if res is not None:
+            compact, n_var, n_ev, n_pair = res
+            return (
+                (("compact", compact), n_var), n_ev, n_pair,
+                compact["cr_u16"].shape[1], compact["cp_u16"].shape[1],
             )
-            self._hw_reads = max(self._hw_reads, len(chunk.reads["var"]))
-            self._hw_pairs = max(self._hw_pairs, len(chunk.pairs["var"]))
-            self.stats["reads"] += int(
-                np.count_nonzero(chunk.reads["var"] < chunk.n_var)
+        chunk = prepare_chunk(
+            sample,
+            bps,
+            min_aligned=self.min_aligned,
+            max_reads=self.max_reads,
+            max_ci_dist=self.max_ci_dist,
+            pad_reads=self._hw_reads,
+            pad_pairs=self._hw_pairs,
+        )
+        n_ev = int(np.count_nonzero(chunk.reads["var"] < chunk.n_var))
+        n_pair = int(np.count_nonzero(chunk.pairs["var"] < chunk.n_var))
+        return (
+            (chunk, chunk.n_var), n_ev, n_pair,
+            len(chunk.reads["var"]), len(chunk.pairs["var"]),
+        )
+
+    def _prepare_multisample(self, bps, n_real: int, t0: float):
+        """Multi-sample prep: one task per sample over a small thread
+        pool. Every Sample owns its own BAM handle (separate native
+        arena + block cache), and the C++ decode drops the GIL, so
+        per-sample fetches overlap on multi-core hosts (reference
+        analogue: classic.py gathers samples serially; SURVEY.md §3.1)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._sample_pool is None:
+            import os
+
+            workers = int(
+                os.environ.get("SVT_PREP_WORKERS", "0")
+            ) or max(1, min(len(self.samples), (os.cpu_count() or 2) // 2))
+            self._sample_pool = ThreadPoolExecutor(max_workers=workers)
+        outs = list(
+            self._sample_pool.map(
+                lambda s: self._prepare_sample(s, bps), self.samples
             )
-            self.stats["pairs"] += int(
-                np.count_nonzero(chunk.pairs["var"] < chunk.n_var)
-            )
-            payloads.append((chunk, chunk.n_var))
+        )
+        payloads = []
+        for entry, n_ev, n_pair, r_w, p_w in outs:
+            self._hw_reads = max(self._hw_reads, r_w)
+            self._hw_pairs = max(self._hw_pairs, p_w)
+            self.stats["reads"] += n_ev
+            self.stats["pairs"] += n_pair
+            payloads.append(entry)
         self.stats["prep_s"] += time.time() - t0
         self.stats["chunks"] += 1
         self.stats["variants"] += n_real

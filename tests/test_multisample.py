@@ -99,3 +99,32 @@ def test_weights_change_qr_qa(paths):
     assert int(f2["QR"]) >= 2 * int(f1["QR"]) - 2
     assert int(f2["QA"]) >= 2 * int(f1["QA"]) - 2
     assert (f1["RS"], f1["RP"]) == (f2["RS"], f2["RP"])  # raw counts unweighted
+
+
+def test_parallel_sample_prep_byte_identical(paths, tmp_path):
+    """Multi-sample prep fans out one task per sample
+    (gt/engine.py::_prepare_multisample); output must be byte-identical
+    to the serialized path regardless of worker count."""
+    import os
+    import subprocess
+    import sys
+
+    d, bam_a, bam_b, vcf = paths
+    env_base = dict(os.environ)
+    env_base["PYTHONPATH"] = os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
+    outs = {}
+    for workers in ("1", "2"):
+        out = str(tmp_path / ("w%s.vcf" % workers))
+        env = dict(env_base, SVT_PREP_WORKERS=workers)
+        r = subprocess.run(
+            [sys.executable, "-m", "svtyper_tpu.cli.classic", "-i", vcf,
+             "-B", "%s,%s" % (bam_a, bam_b), "-o", out, "-n", "100000"],
+            env=env, capture_output=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        with open(out, "rb") as fh:
+            outs[workers] = fh.read()
+    assert outs["1"] == outs["2"]
+    assert b"SAMPLE_A" in outs["1"] and b"SAMPLE_B" in outs["1"]
