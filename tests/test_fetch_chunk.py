@@ -148,3 +148,63 @@ def test_qname_collision_forms_no_pair(tmp_path, monkeypatch):
     oracle = OracleEngine([sample])
     res = oracle.genotype_variant(bp)[0]
     assert res.counts is not None
+
+
+def test_fine_range_prep_edges(tmp_path):
+    """_prep_ranges_fine edge cases: regions past every read (trailing
+    UINT64_MAX fine slots), read-free gaps (cross-tid/era leakage ends
+    at the coordinate break), unknown chromosomes, and equivalence with
+    the BAI-query path (SVT_NO_FINERANGE=1) on all of them."""
+    import os
+
+    refs = [("c1", 9_000_000), ("c2", 2_000_000)]
+    events = [
+        Event("DEL", "c1", 500_000, 502_000, "0/1", var_id="a"),
+        # read-free gap between 600k and 8M on c1
+        Event("DEL", "c1", 4_000_000, 4_002_000, "0/1", var_id="gap"),
+        Event("DEL", "c1", 8_000_000, 8_002_000, "1/1", var_id="b"),
+        # c2 has background reads only -> homozygous-ref evidence
+        Event("DEL", "c2", 1_000_000, 1_001_500, "0/0", var_id="c"),
+        # beyond the last read of c2
+        Event("DEL", "c2", 1_900_000, 1_950_000, "0/1", var_id="tail"),
+    ]
+    bam_path = str(tmp_path / "edge.bam")
+    # simulate only the first/third/fourth events' reads; 'gap' and
+    # 'tail' windows must come back empty
+    sim_events = [events[0], events[2], events[3]]
+    simulate_events(bam_path, refs, sim_events, SimConfig(depth=18),
+                    seed=5, extra_background=200)
+    sample = Sample.from_bam(BamFile(bam_path), num_samp=50_000)
+    vcf = Vcf()
+    header, body = read_vcf_lines(io.StringIO(events_to_vcf(events, refs)))
+    vcf.add_header(header)
+    bps = [resolve_breakpoint(Variant(line, vcf)) for line in body]
+    # unknown chromosome row
+    import copy
+
+    ghost = copy.copy(bps[0])
+    ghost.chrom_a = ghost.chrom_b = "chrMISSING"
+    bps.append(ghost)
+
+    from svtyper_tpu.evidence.extract import prepare_compact_chunk
+
+    res_fine = prepare_compact_chunk(sample, bps, min_aligned=20,
+                                     max_reads=None, max_ci_dist=1e10)
+    os.environ["SVT_NO_FINERANGE"] = "1"
+    try:
+        res_bai = prepare_compact_chunk(sample, bps, min_aligned=20,
+                                        max_reads=None, max_ci_dist=1e10)
+    finally:
+        os.environ.pop("SVT_NO_FINERANGE")
+    assert res_fine is not None and res_bai is not None
+    a, b = res_fine[0], res_bai[0]
+    assert res_fine[1:] == res_bai[1:]
+    for k in a:
+        assert np.array_equal(a[k], b[k]), k
+    # the empty-window variants produced zero evidence rows
+    n_var = res_fine[1]
+    cr_var = a["cr_u16"][0]
+    cp_var = a["cp_u16"][0]
+    for vi in (1, 4, 5):  # gap, tail, ghost
+        assert not np.any(cr_var == vi), vi
+        assert not np.any(cp_var == vi), vi
