@@ -765,13 +765,17 @@ class CramFile:
         # only the indexed containers; the OS pages in what's used
         self._fh = open(path, "rb")
         try:
-            self._buf = mmap.mmap(
-                self._fh.fileno(), 0, access=mmap.ACCESS_READ
-            )
-        except (ValueError, OSError):  # 0-byte or unmappable file
-            self._buf = self._fh.read()
-        if self._buf[:4] != CRAM_MAGIC:
-            raise ValueError("not a CRAM file: %s" % path)
+            try:
+                self._buf = mmap.mmap(
+                    self._fh.fileno(), 0, access=mmap.ACCESS_READ
+                )
+            except (ValueError, OSError):  # 0-byte or unmappable file
+                self._buf = self._fh.read()
+            if self._buf[:4] != CRAM_MAGIC:
+                raise ValueError("not a CRAM file: %s" % path)
+        except Exception:
+            self.close()
+            raise
         self.version = (self._buf[4], self._buf[5])
         off = 26  # magic + version + 20-byte file id
         # first container: SAM header text
@@ -794,6 +798,30 @@ class CramFile:
         self._crai: Optional[CraiIndex] = None
         self._container_cache: Dict[int, ReadBatch] = {}
         self._mapped_unmapped: Optional[Tuple[int, int]] = None
+
+    def close(self) -> None:
+        """Release the mmap and file descriptor (safe to call twice;
+        long-lived processes opening many CRAMs must not leak fds)."""
+        buf = getattr(self, "_buf", None)
+        if buf is not None and hasattr(buf, "close"):
+            try:
+                buf.close()
+            except Exception:
+                pass
+        self._buf = None
+        fh = getattr(self, "_fh", None)
+        if fh is not None:
+            try:
+                fh.close()
+            except Exception:
+                pass
+        self._fh = None
+
+    def __enter__(self) -> "CramFile":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- container iteration ------------------------------------------
     def _container_offsets(self) -> List[int]:

@@ -80,7 +80,18 @@ def get_lib():
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_SO) and not _build():
+        # rebuild when missing OR stale: loading a pre-update .so would
+        # miss newly bound symbols below, raise AttributeError, and
+        # silently drop every run to the pure-Python decoder
+        _cpp = os.path.join(_DIR, "bamcore.cpp")
+        stale = (
+            not os.path.exists(_SO)
+            or (
+                os.path.exists(_cpp)
+                and os.path.getmtime(_cpp) > os.path.getmtime(_SO)
+            )
+        )
+        if stale and not _build():
             _load_failed = True
             return None
         try:

@@ -38,15 +38,7 @@ def encode_record(
     n_cig = len(cigar)
     l_seq = len(seq)
     feats = CigarFeatures(pos, cigar)
-    # the record's 16-bit bin field only encodes the fixed BAI scheme;
-    # past 2^29 (CSI territory) it can't hold the true bin — write 0
-    # (readers, including this package's, index via .bai/.csi instead)
-    if pos < 0:
-        bin_ = 4680
-    elif feats.ref_end <= (1 << 29):
-        bin_ = _reg2bin_for(pos, feats.ref_end)
-    else:
-        bin_ = 0
+    bin_ = _reg2bin_for(pos, feats.ref_end) if pos >= 0 else 4680
     body = bytearray()
     body += struct.pack(
         "<iiBBHHHIiii",
@@ -83,6 +75,11 @@ def encode_record(
 def _reg2bin_for(pos: int, ref_end: int) -> int:
     from svtyper_tpu.bamio.bai import reg2bin
 
+    # the record's 16-bit bin field only encodes the fixed BAI scheme;
+    # past 2^29 (CSI territory) the true bin doesn't fit — write 0
+    # (readers, including this package's, use the .bai/.csi instead)
+    if max(ref_end, pos + 1) > (1 << 29):
+        return 0
     return reg2bin(pos, max(ref_end, pos + 1))
 
 

@@ -425,6 +425,13 @@ def prepare_compact_chunk(
     """
     if os.environ.get("SVT_NO_FETCHCHUNK") == "1":
         return None
+    # probe native availability BEFORE the preamble (both checks are
+    # cached): on the pure-Python fallback path the caller re-runs the
+    # identical preamble inside prepare_chunk, so building it here
+    # first would double the host prep work
+    native = getattr(sample.bam, "_get_native", lambda: None)()
+    if native is None or not hasattr(native._lib, "svt_chunk_export_compact"):
+        return None
     n_var = len(bps)
     if n_var > 0xFFFE:
         raise ValueError("compact wire: chunk_size must be <= 65534")

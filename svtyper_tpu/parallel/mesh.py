@@ -17,9 +17,25 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 try:  # jax >= 0.4.35: top-level export; the experimental path is deprecated
-    from jax import shard_map
+    from jax import shard_map as _shard_map
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def shard_map(*args, **kwargs):
+    """`jax.shard_map` with the `check_vma` kwarg translated to the
+    legacy spelling (`check_rep`) when this jax predates it — callers
+    (gt/engine.py) always pass `check_vma`."""
+    import inspect
+
+    if "check_vma" in kwargs:
+        try:
+            params = inspect.signature(_shard_map).parameters
+        except (TypeError, ValueError):  # pragma: no cover
+            params = {}
+        if "check_vma" not in params and "check_rep" in params:
+            kwargs["check_rep"] = kwargs.pop("check_vma")
+    return _shard_map(*args, **kwargs)
 
 from svtyper_tpu.evidence.device import classify
 from svtyper_tpu.evidence.extract import ChunkInputs
