@@ -139,3 +139,30 @@ def test_engine_multidevice_byte_identical(tmp_path):
     assert render(rows_m) == render(rows_s)
     called = sum(1 for r in rows_m if not r[0].null)
     assert called == len(bps)
+
+
+def test_shard_map_translates_check_vma_for_legacy_jax(monkeypatch):
+    """parallel.mesh.shard_map must rewrite check_vma -> check_rep when
+    the underlying jax shard_map predates the new kwarg."""
+    from svtyper_tpu.parallel import mesh as M
+
+    seen = {}
+
+    def legacy(f, mesh=None, in_specs=None, out_specs=None, check_rep=True):
+        seen["check_rep"] = check_rep
+        return f
+
+    monkeypatch.setattr(M, "_shard_map", legacy)
+    out = M.shard_map(lambda x: x, mesh=None, in_specs=None,
+                      out_specs=None, check_vma=False)
+    assert seen == {"check_rep": False}
+    assert out(7) == 7
+
+    def modern(f, mesh=None, in_specs=None, out_specs=None, check_vma=True):
+        seen["check_vma"] = check_vma
+        return f
+
+    monkeypatch.setattr(M, "_shard_map", modern)
+    M.shard_map(lambda x: x, mesh=None, in_specs=None,
+                out_specs=None, check_vma=False)
+    assert seen["check_vma"] is False
