@@ -77,11 +77,15 @@ class BamFile:
         self._use_native = use_native
         self._native = None
         self._native_failed = False
-        # decode-thread fan-out: explicit arg (CLI --cores) > env > auto
+        # decode-thread fan-out: explicit arg (CLI --cores) > env > auto.
+        # Auto scales with the host (floor 2 so the common 2-vCPU case
+        # keeps both cores busy, cap 8 — the chunk arena is one fetch
+        # in flight, so threads only parallelize within a fetch)
+        ncpu = os.cpu_count() or 1
         self._threads = (
             threads
             or int(os.environ.get("SVT_THREADS", "0"))
-            or (2 if (os.cpu_count() or 1) >= 2 else 1)
+            or max(2 if ncpu >= 2 else 1, min(8, ncpu - 1))
         )
         self._reader = BgzfReader(path)
         vs = VirtualStream(self._reader)

@@ -175,6 +175,7 @@ def sv_genotype(
             samples, min_aligned=min_aligned, split_weight=split_weight,
             disc_weight=disc_weight, max_reads=max_reads,
             max_ci_dist=max_ci_dist, chunk_size=batch_size,
+            prep_workers=cores,
         )
 
         def run_chunk(bps):

@@ -93,6 +93,7 @@ class TpuEngine:
         max_ci_dist: float = 1e10,
         chunk_size: int = 1024,
         devices: Optional[list] = None,
+        prep_workers: Optional[int] = None,
     ) -> None:
         self.samples = samples
         self.min_aligned = min_aligned
@@ -126,6 +127,7 @@ class TpuEngine:
         self._hw_reads = 0
         self._hw_pairs = 0
         self._sample_pool = None  # lazy; multi-sample prep fan-out
+        self._prep_workers = prep_workers  # None = env/auto
         # per-stage wall-time observability (SURVEY.md §5)
         self.stats = {
             "prep_s": 0.0,   # host: fetch + layout (prep thread)
@@ -384,9 +386,11 @@ class TpuEngine:
         if self._sample_pool is None:
             import os
 
-            workers = int(
-                os.environ.get("SVT_PREP_WORKERS", "0")
-            ) or max(1, min(len(self.samples), (os.cpu_count() or 2) // 2))
+            workers = (
+                self._prep_workers
+                or int(os.environ.get("SVT_PREP_WORKERS", "0"))
+                or max(1, min(len(self.samples), (os.cpu_count() or 2) // 2))
+            )
             self._sample_pool = ThreadPoolExecutor(max_workers=workers)
         outs = list(
             self._sample_pool.map(
