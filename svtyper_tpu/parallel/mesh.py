@@ -43,14 +43,28 @@ from svtyper_tpu.ops.gl import genotype_batch
 
 
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """Pass explicit ``devices`` for real hardware (the engine does:
+    ``TpuEngine`` defaults to ``jax.local_devices()``). With only
+    ``n_devices``, a CPU backend that already satisfies the request is
+    preferred BEFORE touching the default backend: ``jax.devices()``
+    initializes every registered platform, and on this environment the
+    axon TPU plugin's init can block for minutes when its relay is
+    wedged — a virtual-CPU dryrun must not depend on it."""
     if devices is None:
-        devices = jax.devices()
-        if n_devices is not None and len(devices) < n_devices:
-            # fall back to the (virtual) CPU backend, e.g. when the
-            # default backend is the single-chip axon TPU
-            cpus = jax.devices("cpu")
-            if len(cpus) >= n_devices:
-                devices = cpus
+        cpus = []
+        if n_devices is not None:
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+        if n_devices is not None and len(cpus) >= n_devices:
+            devices = cpus
+        else:
+            devices = jax.devices()
+            if n_devices is not None and len(devices) < n_devices:
+                # e.g. default backend is the single-chip axon TPU
+                if len(cpus) >= n_devices:
+                    devices = cpus
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
