@@ -284,6 +284,29 @@ class BamFile:
         )
         return batch
 
+    def _clamp_regions(self, regions: List[Tuple[str, int, int]]):
+        """Shared region validation: name→tid, clamp to [0, ref_len),
+        validity mask (used by both range-prep paths so they cannot
+        drift)."""
+        nq = len(regions)
+        tids = np.fromiter(
+            (self.header.name_to_tid.get(c, -1) for c, _, _ in regions),
+            dtype=np.int64, count=nq,
+        )
+        los = np.maximum(
+            np.fromiter((s for _, s, _ in regions), dtype=np.int64, count=nq),
+            0,
+        )
+        ref_len = np.asarray(
+            [l for _, l in self.header.refs] + [0], dtype=np.int64
+        )
+        his = np.minimum(
+            np.fromiter((e for _, _, e in regions), dtype=np.int64, count=nq),
+            ref_len[tids],
+        )
+        valid = (tids >= 0) & (his > los)
+        return tids, los, his, valid
+
     def _prep_ranges_fine(self, regions: List[Tuple[str, int, int]]):
         """Fine-index-only voffset ranges for ``fetch_chunk``.
 
@@ -305,23 +328,7 @@ class BamFile:
         fi = self._get_fineidx()
         if fi is None:
             return None
-        nq = len(regions)
-        tids = np.fromiter(
-            (self.header.name_to_tid.get(c, -1) for c, _, _ in regions),
-            dtype=np.int64, count=nq,
-        )
-        los = np.maximum(
-            np.fromiter((s for _, s, _ in regions), dtype=np.int64, count=nq),
-            0,
-        )
-        ref_len = np.asarray(
-            [l for _, l in self.header.refs] + [0], dtype=np.int64
-        )
-        his = np.minimum(
-            np.fromiter((e for _, _, e in regions), dtype=np.int64, count=nq),
-            ref_len[tids],
-        )
-        valid = (tids >= 0) & (his > los)
+        tids, los, his, valid = self._clamp_regions(regions)
         n_slots = np.diff(fi.slot_off)
         safe_tid = np.where(valid, tids, 0)
         slot = fi.slot_off[safe_tid] + np.minimum(
@@ -349,23 +356,7 @@ class BamFile:
         ``(keep, remap, rt, rs, re_, ro, rb, rn)`` where ``keep``/
         ``remap`` map kept queries back to input region indices.
         """
-        nq = len(regions)
-        tids = np.fromiter(
-            (self.header.name_to_tid.get(c, -1) for c, _, _ in regions),
-            dtype=np.int64, count=nq,
-        )
-        los = np.maximum(
-            np.fromiter((s for _, s, _ in regions), dtype=np.int64, count=nq),
-            0,
-        )
-        ref_len = np.asarray(
-            [l for _, l in self.header.refs] + [0], dtype=np.int64
-        )
-        his = np.minimum(
-            np.fromiter((e for _, _, e in regions), dtype=np.int64, count=nq),
-            ref_len[tids],
-        )
-        valid = (tids >= 0) & (his > los)
+        tids, los, his, valid = self._clamp_regions(regions)
         row_off, rb_all, rn_all = self.bai.query_many(
             np.where(valid, tids, -1), los, np.maximum(his, los + 1)
         )

@@ -764,7 +764,7 @@ class CramFile:
         # mmap, not read(): real CRAMs are multi-GB and fetch() touches
         # only the indexed containers; the OS pages in what's used
         self._fh = open(path, "rb")
-        try:
+        try:  # any constructor failure must release the fd + mmap
             try:
                 self._buf = mmap.mmap(
                     self._fh.fileno(), 0, access=mmap.ACCESS_READ
@@ -773,30 +773,31 @@ class CramFile:
                 self._buf = self._fh.read()
             if self._buf[:4] != CRAM_MAGIC:
                 raise ValueError("not a CRAM file: %s" % path)
+            self.version = (self._buf[4], self._buf[5])
+            off = 26  # magic + version + 20-byte file id
+            # first container: SAM header text
+            ch = ContainerHeader.parse(self._buf, off)
+            body = off + ch.hdr_size
+            blk, _ = read_block(self._buf, body)
+            text = blk["data"]
+            if len(text) >= 4:
+                (ln,) = struct.unpack_from("<i", text, 0)
+                if 0 <= ln <= len(text) - 4:
+                    text = text[4 : 4 + ln]
+            text = text.split(b"\x00", 1)[0].decode(errors="replace")
+            self._containers_off = off + ch.hdr_size + ch.length
+            refs = _refs_from_text(text)
+            self.header = BamHeader(text, refs)
         except Exception:
             self.close()
             raise
-        self.version = (self._buf[4], self._buf[5])
-        off = 26  # magic + version + 20-byte file id
-        # first container: SAM header text
-        ch = ContainerHeader.parse(self._buf, off)
-        body = off + ch.hdr_size
-        blk, _ = read_block(self._buf, body)
-        text = blk["data"]
-        if len(text) >= 4:
-            (ln,) = struct.unpack_from("<i", text, 0)
-            if 0 <= ln <= len(text) - 4:
-                text = text[4 : 4 + ln]
-        text = text.split(b"\x00", 1)[0].decode(errors="replace")
-        self._containers_off = off + ch.hdr_size + ch.length
-        refs = _refs_from_text(text)
-        self.header = BamHeader(text, refs)
         self.rg_index: Dict[bytes, int] = {
             rg.get("ID", "").encode(): i
             for i, rg in enumerate(self.header.read_groups)
         }
         self._crai: Optional[CraiIndex] = None
         self._container_cache: Dict[int, ReadBatch] = {}
+        self._raw_cache: Optional[Tuple[int, list]] = None
         self._mapped_unmapped: Optional[Tuple[int, int]] = None
 
     def close(self) -> None:
@@ -1022,7 +1023,14 @@ class CramFile:
             by_cont[int(vo) >> 24].append((int(vo) & 0xFFFFFF, slot))
         out: List[bytes] = [b""] * len(voffsets)
         for off, wants in by_cont.items():
-            recs = list(self._iter_container_records(off))
+            # one-container memo: callers issuing per-row calls in
+            # coordinate order (EvidenceWriter.close) cluster within a
+            # container, so this keeps them O(containers) total
+            if self._raw_cache is not None and self._raw_cache[0] == off:
+                recs = self._raw_cache[1]
+            else:
+                recs = list(self._iter_container_records(off))
+                self._raw_cache = (off, recs)
             for ordi, slot in wants:
                 out[slot] = _rec_to_bam_bytes(recs[ordi])
         return out

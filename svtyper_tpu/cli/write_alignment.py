@@ -42,16 +42,11 @@ class EvidenceWriter:
         header = self.samples[0].bam.header
         w = BamWriter(self.path, header.refs, header.text)
         self._rows.sort(key=lambda r: (r[0], r[1]))
-        # one batched raw_records call per sample: the CRAM reader
-        # decodes a whole container per call, so per-row calls would be
-        # O(rows × container-decode)
-        raws: dict = {}
-        for si in set(r[4] for r in self._rows):
-            vos = [r[5] for r in self._rows if r[4] == si]
-            for vo, raw in zip(
-                vos, self.samples[si].bam.raw_records(vos)
-            ):
-                raws[(si, vo)] = raw
+        # stream row by row (bounded memory for large cohorts); the
+        # coordinate sort clusters CRAM rows per container, which the
+        # reader's one-container raw_records memo turns into
+        # O(containers) decode work rather than O(rows)
         for tid, pos, ref_end, flag, si, vo in self._rows:
-            w.write_record(raws[(si, vo)], tid, pos, ref_end, flag)
+            raw = self.samples[si].bam.raw_records([vo])[0]
+            w.write_record(raw, tid, pos, ref_end, flag)
         w.close()

@@ -386,10 +386,23 @@ class TpuEngine:
         if self._sample_pool is None:
             import os
 
+            # auto-size against the decode fan-out: each concurrent
+            # prep launches its sample's native decode threads, so the
+            # two knobs must share the host, not each assume they own it
+            dec = max(
+                (getattr(s.bam, "_threads", 1) for s in self.samples),
+                default=1,
+            )
             workers = (
                 self._prep_workers
                 or int(os.environ.get("SVT_PREP_WORKERS", "0"))
-                or max(1, min(len(self.samples), (os.cpu_count() or 2) // 2))
+                or max(
+                    1,
+                    min(
+                        len(self.samples),
+                        (os.cpu_count() or 2) // max(dec, 1),
+                    ),
+                )
             )
             self._sample_pool = ThreadPoolExecutor(max_workers=workers)
         outs = list(

@@ -42,27 +42,35 @@ from svtyper_tpu.evidence.extract import ChunkInputs
 from svtyper_tpu.ops.gl import genotype_batch
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+def make_mesh(
+    n_devices: Optional[int] = None, devices=None, prefer_cpu: bool = False
+) -> Mesh:
     """Pass explicit ``devices`` for real hardware (the engine does:
-    ``TpuEngine`` defaults to ``jax.local_devices()``). With only
-    ``n_devices``, a CPU backend that already satisfies the request is
-    preferred BEFORE touching the default backend: ``jax.devices()``
-    initializes every registered platform, and on this environment the
-    axon TPU plugin's init can block for minutes when its relay is
-    wedged — a virtual-CPU dryrun must not depend on it."""
+    ``TpuEngine`` defaults to ``jax.local_devices()``).
+
+    ``prefer_cpu=True`` (the virtual-mesh dryrun/tests) probes the CPU
+    backend BEFORE touching the default one: ``jax.devices()``
+    initializes every registered platform, and the axon TPU plugin's
+    init can block for minutes when its relay is wedged — a CPU dryrun
+    must not depend on it. Default ``False`` keeps the accelerator-
+    first contract, falling back to a virtual CPU mesh only when the
+    default backend is too small (e.g. a single-chip TPU)."""
     if devices is None:
-        cpus = []
-        if n_devices is not None:
+        def _cpus():
             try:
-                cpus = jax.devices("cpu")
+                return jax.devices("cpu")
             except RuntimeError:
-                cpus = []
-        if n_devices is not None and len(cpus) >= n_devices:
-            devices = cpus
-        else:
+                return []
+
+        if prefer_cpu and n_devices is not None:
+            cpus = _cpus()
+            if len(cpus) >= n_devices:
+                devices = cpus
+        if devices is None:
             devices = jax.devices()
             if n_devices is not None and len(devices) < n_devices:
                 # e.g. default backend is the single-chip axon TPU
+                cpus = _cpus()
                 if len(cpus) >= n_devices:
                     devices = cpus
     if n_devices is not None:
