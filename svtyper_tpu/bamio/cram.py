@@ -1042,6 +1042,12 @@ def _rec_to_bam_bytes(r: dict) -> bytes:
     from svtyper_tpu.bamio.writer import _reg2bin_for
 
     name = (r["qname"] or b"*") + b"\x00"
+    if len(name) > 255:
+        # l_read_name is one byte; a conforming file never exceeds 254
+        raise ValueError(
+            "CRAM QNAME longer than 254 bytes cannot be encoded as BAM: "
+            "%r..." % name[:32]
+        )
     cigar = r["cigar"] if not (r["bf"] & FUNMAP) else []
     span = sum(ln for op, ln in cigar if op in (OP_M, OP_D, OP_N))
     pos = r["pos"]

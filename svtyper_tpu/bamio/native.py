@@ -92,18 +92,59 @@ def get_lib():
             )
         )
         if stale and not _build():
-            _load_failed = True
-            return None
+            # a rebuild failure (no compiler on a deploy host, clock-
+            # scrambled mtimes after git operations) must not discard a
+            # loadable — merely stale — .so: the per-symbol hasattr
+            # guards below already degrade missing NEW entry points
+            # gracefully, and pure Python is a large silent perf cliff
+            if not os.path.exists(_SO):
+                _load_failed = True
+                return None
+            import sys
+
+            sys.stderr.write(
+                "svtyper-tpu: native rebuild failed; loading existing "
+                "(possibly stale) %s\n" % _SO
+            )
         try:
             lib = C.CDLL(_SO)
         except OSError:
             _load_failed = True
+            import sys
+
+            sys.stderr.write(
+                "svtyper-tpu: native decoder unavailable, falling back "
+                "to the pure-Python BAM decoder (slower)\n"
+            )
             return None
-        lib.svt_open.restype = C.c_void_p
-        lib.svt_open.argtypes = [C.c_char_p]
-        lib.svt_close.argtypes = [C.c_void_p]
-        lib.svt_error.restype = C.c_char_p
-        lib.svt_error.argtypes = [C.c_void_p]
+        try:
+            lib.svt_open.restype = C.c_void_p
+            lib.svt_open.argtypes = [C.c_char_p]
+            lib.svt_close.argtypes = [C.c_void_p]
+            lib.svt_error.restype = C.c_char_p
+            lib.svt_error.argtypes = [C.c_void_p]
+        except AttributeError:
+            # not even the v1 surface: unusable artifact
+            _load_failed = True
+            return None
+        try:
+            _bind_extended(lib)
+        except AttributeError as exc:
+            import sys
+
+            sys.stderr.write(
+                "svtyper-tpu: stale native library (%s); newer entry "
+                "points disabled until rebuilt\n" % exc
+            )
+        _lib = lib
+        return _lib
+
+
+# NOTE: 8-space body so the block below could move verbatim out of
+# get_lib(); post-v1 entry points bound best-effort — an AttributeError
+# on a stale .so leaves the v1 symbols usable (callers hasattr-guard
+# the newer ones).
+def _bind_extended(lib) -> None:
         lib.svt_set_names.restype = None
         lib.svt_set_names.argtypes = [
             C.c_void_p,
@@ -183,8 +224,6 @@ def get_lib():
         ]
         lib.svt_perf.restype = None
         lib.svt_perf.argtypes = [C.POINTER(C.c_int64)]
-        _lib = lib
-        return _lib
 
 
 def perf_counters() -> dict:

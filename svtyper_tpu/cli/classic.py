@@ -53,7 +53,8 @@ def get_args(argv=None):
     p.add_argument("--max_ci_dist", type=float, default=1e10,
                    help="maximum size of a confidence interval before 0/0 genotype [1e10]")
     p.add_argument("-w", "--write_alignment", default=None,
-                   help="write relevant reads to BAM file")
+                   help="write relevant reads to BAM file (CRAM inputs "
+                        "emit seq-less records: SEQ/QUAL show as '*')")
     p.add_argument("--debug", action="store_true", help="debugging verbosity")
     p.add_argument("--verbose", action="store_true", help="progress logging")
     # TPU-framework extensions (not in the reference)

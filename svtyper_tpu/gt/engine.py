@@ -94,6 +94,7 @@ class TpuEngine:
         chunk_size: int = 1024,
         devices: Optional[list] = None,
         prep_workers: Optional[int] = None,
+        force_shard: bool = False,
     ) -> None:
         self.samples = samples
         self.min_aligned = min_aligned
@@ -110,7 +111,12 @@ class TpuEngine:
             devices = jax.local_devices()
         self.devices = list(devices)
         self.n_dev = len(self.devices)
-        if self.n_dev > 1:
+        # force_shard runs the shard_map program even on ONE device —
+        # the production multi-chip composition (pallas_call inside
+        # shard_map) becomes testable on single-chip hardware
+        # (tests/test_pallas_tpu.py; VERDICT r3 item 1)
+        self.sharded = self.n_dev > 1 or force_shard
+        if self.sharded:
             chunk_size = -(-chunk_size // self.n_dev) * self.n_dev
             self.mesh = jax.sharding.Mesh(
                 np.asarray(self.devices), axis_names=("data",)
@@ -258,7 +264,7 @@ class TpuEngine:
             )
             return jnp.concatenate([ints, flts], axis=1)
 
-        if self.n_dev > 1:
+        if self.sharded:
             from jax.sharding import PartitionSpec as P
 
             from svtyper_tpu.parallel.mesh import shard_map
@@ -318,11 +324,11 @@ class TpuEngine:
         # the largest shapes have been seen
         if len(bps) < self.chunk_size:
             bps = list(bps) + [None] * (self.chunk_size - len(bps))
-        if len(self.samples) > 1 and self.n_dev == 1:
+        if len(self.samples) > 1 and not self.sharded:
             return self._prepare_multisample(bps, n_real, t0)
         payloads = []
         for si, sample in enumerate(self.samples):
-            if self.n_dev > 1:
+            if self.sharded:
                 payloads.append(self._prepare_sharded(sample, bps))
                 continue
             # native fast path inside _prepare_sample: predicates
@@ -405,6 +411,15 @@ class TpuEngine:
                 )
             )
             self._sample_pool = ThreadPoolExecutor(max_workers=workers)
+            # the pool must not outlive the engine: a long-lived process
+            # constructing many engines would otherwise accumulate idle
+            # worker threads (close() is the explicit path; the finalizer
+            # covers engines that are simply dropped)
+            import weakref
+
+            self._pool_finalizer = weakref.finalize(
+                self, self._sample_pool.shutdown, wait=False
+            )
         outs = list(
             self._sample_pool.map(
                 lambda s: self._prepare_sample(s, bps), self.samples
@@ -487,7 +502,7 @@ class TpuEngine:
         t0 = time.time()
         arrs = []
         for si, (payload, n_var) in enumerate(payloads):
-            if self.n_dev > 1:
+            if self.sharded:
                 shards, r_pad, f_pad = payload
                 compacts = [
                     _repad_compact(
@@ -506,8 +521,8 @@ class TpuEngine:
                 packed = payload[1]
             else:
                 packed = compact_chunk(payload, self.min_aligned)
-            wire, geom = pack_wire(packed, multi=self.n_dev > 1)
-            if self.n_dev > 1:
+            wire, geom = pack_wire(packed, multi=self.sharded)
+            if self.sharded:
                 arrs.append(
                     self._step(
                         jnp.asarray(wire), self._dens_stack_for(si),
@@ -539,7 +554,7 @@ class TpuEngine:
     def _collect(self, n_bps: int, arrs) -> List[List[GenotypeResult]]:
         t0 = time.time()
         per_sample = [np.asarray(a) for a in arrs]  # sync point
-        if self.n_dev > 1:
+        if self.sharded:
             # [D, n_shard, 24] → [chunk_size, 24] (shards are contiguous
             # variant slices, so a plain reshape restores input order)
             per_sample = [
@@ -550,6 +565,20 @@ class TpuEngine:
             [_to_result(ps, vi) for ps in per_sample]
             for vi in range(n_bps)
         ]
+
+    def close(self) -> None:
+        """Release host-side resources (the multi-sample prep pool).
+        Idempotent; the engine remains usable for single-sample work
+        afterwards (the pool is rebuilt lazily if needed)."""
+        if self._sample_pool is not None:
+            self._sample_pool.shutdown(wait=False)
+            self._sample_pool = None
+
+    def __enter__(self) -> "TpuEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def genotype_chunk(
         self, bps: List[Optional[Breakpoint]]

@@ -126,7 +126,11 @@ def _kernel(counts_ref, isdup_ref, fnull_ref, ints_ref, flts_ref,
     sq = jnp.abs(-10.0 * (s0 - log_gt_sum))
     gq = jnp.trunc(jnp.minimum(-10.0 * (s_second - s_best), MAX_GQ))
     null = force_null | (total <= 0.0) | underflow
-    denom = total
+    # AB denominator in ops.gl's exact f32 summation order
+    # (((rs+rp)+alt_split)+ap) — NOT `total`, whose accumulation order
+    # (rs+as+ac+rp+ap) rounds differently in the last ulp and can flip a
+    # %.2g digit vs the XLA lowering at a rounding boundary.
+    denom = rs + rp + alt_split + ap
     ab_valid = denom > 0.0
     ab = jnp.where(ab_valid, (alt_split + ap) / jnp.where(ab_valid, denom, 1.0), 0.0)
 
