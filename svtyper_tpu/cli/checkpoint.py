@@ -1,0 +1,172 @@
+"""Checkpoint/resume support for ``sv_genotype`` (SURVEY.md §5).
+
+Two pieces:
+
+* **Manifest guard** — ``--checkpoint_dir`` replay is keyed purely by
+  chunk index, so a rerun against the same directory with a *different*
+  input VCF, BAM set, or flag tuple would silently emit stale genotypes
+  (VERDICT r3 Weak #1 — a wrong-output failure, the worst kind). The
+  manifest records input identity (VCF content hash; BAM path + size +
+  head/tail hash) and the full genotyping flag tuple; a mismatch
+  refuses the run with the differing keys named.
+
+* **Multi-host row spill** — under ``SVT_DIST_*`` each process spills
+  its per-chunk RESULT ROWS (the fixed-width ``result_to_row`` arrays,
+  NOT formatted lines) before the cross-host gather. A killed run
+  restarted with the same command replays completed chunks from disk
+  and recomputes only the remainder, so the allgathered row stream
+  stays synchronized across hosts and a 100-host run that died at 99%
+  no longer redoes its whole shard (SURVEY.md §5 checkpoint row).
+
+Failure injection for tests: ``SVT_CRASH_AFTER_CHUNKS=N`` makes the
+per-chunk loops raise after N chunks (SURVEY.md §5 fault-injection
+plan); see ``tests/test_checkpoint.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+MANIFEST_NAME = "manifest.json"
+_HASH_SPAN = 1 << 20  # head/tail bytes hashed per BAM
+
+
+def _file_identity(path: str) -> Dict[str, object]:
+    """Cheap-but-strong identity for a large binary input: size plus
+    sha256 over the first and last MiB (a full hash of a 100 GB BAM per
+    run would dwarf the genotyping it guards)."""
+    size = os.path.getsize(path)
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        h.update(fh.read(_HASH_SPAN))
+        if size > _HASH_SPAN:
+            fh.seek(max(size - _HASH_SPAN, 0))
+            h.update(fh.read(_HASH_SPAN))
+    return {"path": os.path.abspath(path), "size": size,
+            "sha256_headtail": h.hexdigest()}
+
+
+def build_manifest(
+    bam_paths: List[str],
+    header_lines: List[str],
+    body_lines: List[str],
+    flags: Dict[str, object],
+) -> Dict[str, object]:
+    """Input + configuration fingerprint. The VCF is hashed by CONTENT
+    (header + body lines), so stdin inputs are covered and a re-sorted
+    or edited VCF with the same path is caught."""
+    h = hashlib.sha256()
+    for line in header_lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    h.update(b"--\n")
+    for line in body_lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return {
+        "version": 1,
+        "vcf_sha256": h.hexdigest(),
+        "n_records": len(body_lines),
+        "bams": [_file_identity(p) for p in bam_paths],
+        "flags": {k: flags[k] for k in sorted(flags)},
+    }
+
+
+def ensure_manifest(checkpoint_dir: str, manifest: Dict[str, object]) -> None:
+    """Create the manifest on first use; on rerun, refuse replay unless
+    the stored manifest matches exactly (differing keys are named)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, MANIFEST_NAME)
+    if os.path.exists(path):
+        with open(path) as fh:
+            stored = json.load(fh)
+        diffs = _diff_manifests(stored, manifest)
+        if diffs:
+            raise ValueError(
+                "checkpoint_dir %r was created by a different run — "
+                "replaying its chunks would emit stale genotypes. "
+                "Mismatched: %s. Use a fresh directory (or delete the "
+                "old one) to genotype this input."
+                % (checkpoint_dir, "; ".join(diffs))
+            )
+        return
+    tmp = path + ".tmp.%d" % os.getpid()
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def _diff_manifests(a: Dict, b: Dict) -> List[str]:
+    diffs: List[str] = []
+    for key in ("version", "vcf_sha256", "n_records"):
+        if a.get(key) != b.get(key):
+            diffs.append("%s (%r != %r)" % (key, a.get(key), b.get(key)))
+    fa, fb = a.get("flags", {}), b.get("flags", {})
+    for key in sorted(set(fa) | set(fb)):
+        if fa.get(key) != fb.get(key):
+            diffs.append(
+                "flag %s (%r != %r)" % (key, fa.get(key), fb.get(key))
+            )
+    ba, bb = a.get("bams", []), b.get("bams", [])
+    if len(ba) != len(bb):
+        diffs.append("bam count (%d != %d)" % (len(ba), len(bb)))
+    else:
+        for i, (xa, xb) in enumerate(zip(ba, bb)):
+            if xa != xb:
+                diffs.append(
+                    "bam[%d] (%s != %s)"
+                    % (i, xa.get("path"), xb.get("path"))
+                )
+    return diffs
+
+
+# ---- multi-host per-chunk row spill ---------------------------------
+
+def rows_part_path(checkpoint_dir: str, proc_id: int, c0: int) -> str:
+    """Spill file for the chunk starting at absolute variant index
+    ``c0`` on host ``proc_id``. c0 is deterministic given
+    (n_records, n_procs, batch_size) — all manifest-guarded — so a
+    restarted process reads exactly the files it would have written."""
+    return os.path.join(
+        checkpoint_dir, "rows_p%03d_%09d.npy" % (proc_id, c0)
+    )
+
+
+def save_rows(path: str, rows: np.ndarray) -> None:
+    """Atomic spill (tmp + rename): a crash mid-write never leaves a
+    half-written part that a restart would trust."""
+    tmp = path + ".tmp.%d" % os.getpid()
+    with open(tmp, "wb") as fh:
+        np.save(fh, rows)
+    os.replace(tmp, path)
+
+
+def load_rows(path: str) -> Optional[np.ndarray]:
+    if not os.path.exists(path):
+        return None
+    return np.load(path)
+
+
+class CrashInjector:
+    """``SVT_CRASH_AFTER_CHUNKS=N`` → raise after N completed chunks
+    (test-only fault injection; inactive when the variable is unset)."""
+
+    def __init__(self) -> None:
+        v = os.environ.get("SVT_CRASH_AFTER_CHUNKS")
+        self.limit = int(v) if v else None
+        self.done = 0
+
+    def chunk_done(self) -> None:
+        if self.limit is None:
+            return
+        self.done += 1
+        if self.done >= self.limit:
+            raise RuntimeError(
+                "SVT_CRASH_AFTER_CHUNKS=%d: injected crash after %d "
+                "chunks" % (self.limit, self.done)
+            )

@@ -126,13 +126,6 @@ def sv_genotype(
                 "--num_shards is manual sharding; incompatible with "
                 "SVT_DIST_* automatic multihost mode"
             )
-        if checkpoint_dir:
-            raise ValueError(
-                "--checkpoint_dir replays formatted chunks without "
-                "re-genotyping, which would desynchronize the gathered "
-                "row stream; rerun the failed shard instead (shards are "
-                "idempotent)"
-            )
     else:
         proc_id, n_procs = 0, 1
     bam_paths = [b for b in bam_string.split(",") if b]
@@ -199,6 +192,44 @@ def sv_genotype(
     registry = BndRegistry()
     registry.scan(body)
 
+    # checkpoint manifest guard: replay is keyed by chunk index, so the
+    # directory must be bound to THIS input + flag tuple — a mismatch
+    # (different VCF/BAM/flags) refuses instead of silently emitting
+    # stale genotypes (cli/checkpoint.py)
+    from svtyper_tpu.cli.checkpoint import CrashInjector
+
+    crash = CrashInjector()
+    if checkpoint_dir:
+        import hashlib
+        import json
+
+        from svtyper_tpu.cli.checkpoint import build_manifest, ensure_manifest
+
+        lib_sha = hashlib.sha256(
+            json.dumps(
+                [s.to_json_obj() for s in samples], sort_keys=True
+            ).encode()
+        ).hexdigest()
+        ensure_manifest(
+            checkpoint_dir,
+            build_manifest(
+                bam_paths, header_lines, body,
+                flags={
+                    "min_aligned": min_aligned,
+                    "split_weight": split_weight,
+                    "disc_weight": disc_weight,
+                    "sum_quals": sum_quals,
+                    "max_reads": max_reads,
+                    "max_ci_dist": max_ci_dist,
+                    "batch_size": batch_size,
+                    "num_shards": num_shards,
+                    "shard_index": shard_index,
+                    "n_procs": n_procs,
+                    "lib_stats_sha256": lib_sha,
+                },
+            ),
+        )
+
     if n_procs > 1:
         # phase 1 (every process): genotype this host's contiguous
         # variant slice; ship fixed-width rows through the collective
@@ -211,24 +242,51 @@ def sv_genotype(
         )
         from svtyper_tpu.parallel.multihost import merge_ordered
 
+        from svtyper_tpu.cli.checkpoint import (
+            load_rows,
+            rows_part_path,
+            save_rows,
+        )
+
         slices = shard_slices(len(body), n_procs)
         lo, hi = slices[proc_id]
-        rows_flat: List = []
+        chunk_arrs: List[np.ndarray] = []
         for c0 in range(lo, hi, batch_size):
-            chunk_vars = [
-                Variant(line, vcf) for line in body[c0 : min(c0 + batch_size, hi)]
-            ]
-            # registry.resolve gives BOTH mates of a BND pair the same
-            # anchor breakpoint, so hosts compute identical rows even
-            # when a pair straddles a shard boundary
-            bps_chunk = [registry.resolve(v) for v in chunk_vars]
-            rows_flat.extend(run_chunk(bps_chunk))
-        arr = np.zeros(
-            (len(rows_flat), len(sample_names), ROW_WIDTH), dtype=np.float64
+            # per-chunk row spill (pre-gather): a restarted shard
+            # replays completed chunks from disk and recomputes only
+            # the remainder, so the allgathered row stream stays
+            # synchronized across hosts (SURVEY.md §5 checkpoint row)
+            part = (
+                rows_part_path(checkpoint_dir, proc_id, c0)
+                if checkpoint_dir else None
+            )
+            cached = load_rows(part) if part else None
+            if cached is None:
+                chunk_vars = [
+                    Variant(line, vcf)
+                    for line in body[c0 : min(c0 + batch_size, hi)]
+                ]
+                # registry.resolve gives BOTH mates of a BND pair the
+                # same anchor breakpoint, so hosts compute identical
+                # rows even when a pair straddles a shard boundary
+                bps_chunk = [registry.resolve(v) for v in chunk_vars]
+                res = run_chunk(bps_chunk)
+                cached = np.zeros(
+                    (len(res), len(sample_names), ROW_WIDTH),
+                    dtype=np.float64,
+                )
+                for j, row in enumerate(res):
+                    for s, r in enumerate(row):
+                        cached[j, s] = result_to_row(r)
+                if part:
+                    save_rows(part, cached)
+            chunk_arrs.append(cached)
+            crash.chunk_done()
+        arr = (
+            np.concatenate(chunk_arrs, axis=0)
+            if chunk_arrs
+            else np.zeros((0, len(sample_names), ROW_WIDTH), np.float64)
         )
-        for i, row in enumerate(rows_flat):
-            for s, r in enumerate(row):
-                arr[i, s] = result_to_row(r)
         if verbose:
             sys.stderr.write(
                 "host %d/%d: genotyped slice [%d:%d); gathering\n"
@@ -265,9 +323,6 @@ def sv_genotype(
 
         writer_bams = EvidenceWriter(alignment_outpath, samples)
 
-    if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-
     n_done = 0
     chunk_idx = 0
     t_gt = time.time()
@@ -297,6 +352,7 @@ def sv_genotype(
                         vcf_out.write(line)
                 n_done += len(pending)
                 pending.clear()
+                crash.chunk_done()
                 return
         bps = [registry.resolve(v) for v in pending]
         for v, bp in zip(pending, bps):
@@ -347,6 +403,7 @@ def sv_genotype(
             os.replace(tmp, part)
         n_done += len(pending)
         pending.clear()
+        crash.chunk_done()
         if verbose:
             dt = time.time() - t_gt
             sys.stderr.write(

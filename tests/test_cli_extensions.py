@@ -42,7 +42,8 @@ def test_checkpoint_resume_identical(paths):
     out1 = str(d / "c1.vcf")
     _run(["-i", vcf, "-B", bam, "-o", out1, "-n", "40000",
           "--checkpoint_dir", ck, "--batch_size", "3"])
-    parts = sorted(os.listdir(ck))
+    assert os.path.exists(os.path.join(ck, "manifest.json"))
+    parts = sorted(p for p in os.listdir(ck) if p.endswith(".vcfpart"))
     assert parts == ["part_000000.vcfpart", "part_000001.vcfpart",
                      "part_000002.vcfpart"]
     assert open(out1).read() == open(base).read()
@@ -52,7 +53,9 @@ def test_checkpoint_resume_identical(paths):
     _run(["-i", vcf, "-B", bam, "-o", out2, "-n", "40000",
           "--checkpoint_dir", ck, "--batch_size", "3"])
     assert open(out2).read() == open(base).read()
-    assert sorted(os.listdir(ck)) == parts
+    assert sorted(
+        p for p in os.listdir(ck) if p.endswith(".vcfpart")
+    ) == parts
 
 
 def test_shards_concatenate_to_single_output(paths):
