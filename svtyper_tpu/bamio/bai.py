@@ -354,6 +354,103 @@ class BaiBuilder:
             if w not in lin or vo_beg < lin[w]:
                 lin[w] = vo_beg
 
+    def add_bulk(
+        self,
+        tid: np.ndarray,
+        pos: np.ndarray,
+        ref_end: np.ndarray,
+        vo_beg: np.ndarray,
+        vo_end: np.ndarray,
+        is_mapped: np.ndarray,
+    ) -> None:
+        """Vectorized :meth:`add` over coordinate-ordered record arrays
+        (the bulk ``-w`` writer's path; identical index to the scalar
+        loop). vo arrays must be nondecreasing (file order)."""
+        tid = np.asarray(tid, np.int64)
+        pos = np.asarray(pos, np.int64)
+        keep = tid >= 0
+        self.n_no_coor += int((~keep).sum())
+        if not keep.all():
+            tid, pos = tid[keep], pos[keep]
+            ref_end = np.asarray(ref_end, np.int64)[keep]
+            vo_beg = np.asarray(vo_beg, np.int64)[keep]
+            vo_end = np.asarray(vo_end, np.int64)[keep]
+            is_mapped = np.asarray(is_mapped, bool)[keep]
+        else:
+            ref_end = np.asarray(ref_end, np.int64)
+            vo_beg = np.asarray(vo_beg, np.int64)
+            vo_end = np.asarray(vo_end, np.int64)
+            is_mapped = np.asarray(is_mapped, bool)
+        n = len(tid)
+        if not n:
+            return
+        if (np.diff(tid) < 0).any() or (
+            (np.diff(tid) == 0) & (np.diff(pos) < 0)
+        ).any() or (int(tid[0]), int(pos[0])) < self._last:
+            raise ValueError("records not in coordinate order (bulk)")
+        self._last = (int(tid[-1]), int(pos[-1]))
+        # both the bin and the linear window use max(ref_end, pos+1)
+        # (the scalar path's unmapped ref_end bump collapses into this)
+        end2 = np.maximum(ref_end, pos + 1)
+        for t in np.unique(tid):
+            rows = tid == t
+            ri = self.refs[int(t)]
+            ri.mapped += int(is_mapped[rows].sum())
+            ri.unmapped += int((~is_mapped[rows]).sum())
+        # vectorized reg2bin (same 5-level cascade as the scalar form)
+        e = end2 - 1
+        bins = np.zeros(n, dtype=np.int64)
+        for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585),
+                           (14, 4681)):
+            m = (pos >> shift) == (e >> shift)
+            bins = np.where(m, off + (pos >> shift), bins)
+        # chunk runs: group rows by (tid, bin) keeping file order; a new
+        # chunk starts where this row's vo_beg exceeds the group's
+        # previous vo_end (matches the scalar merge rule; vo_end is
+        # nondecreasing so the run's last row carries its max)
+        order = np.lexsort((np.arange(n), bins, tid))
+        st, sb = tid[order], bins[order]
+        svb, sve = vo_beg[order], vo_end[order]
+        newgrp = np.concatenate(
+            ([True], (st[1:] != st[:-1]) | (sb[1:] != sb[:-1]))
+        )
+        prev_end = np.concatenate(([0], sve[:-1]))
+        newchunk = newgrp | (svb > prev_end)
+        starts = np.flatnonzero(newchunk)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        for k in range(len(starts)):
+            s0 = starts[k]
+            ri = self.refs[int(st[s0])]
+            chunks = ri.bins.setdefault(int(sb[s0]), [])
+            cb, ce = int(svb[s0]), int(sve[ends[k]])
+            if newgrp[s0] and chunks and cb <= chunks[-1][1]:
+                # first run of this (tid,bin) may merge with a chunk
+                # left by an earlier add()/add_bulk() call
+                chunks[-1] = (chunks[-1][0], max(chunks[-1][1], ce))
+            else:
+                chunks.append((cb, ce))
+        # linear index: min vo_beg per 16 KiB window; w1 > w0 + 1 only
+        # for multi-window spans (long D/N cigars) — scalar fallback
+        w0 = pos >> _LIN_SHIFT
+        w1 = (end2 - 1) >> _LIN_SHIFT
+        for t in np.unique(tid):
+            rows = np.flatnonzero(tid == t)
+            lin = self._lin[int(t)]
+            hi = int(w1[rows].max())
+            arr = np.full(hi + 1, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(arr, w0[rows], vo_beg[rows])
+            np.minimum.at(arr, w1[rows], vo_beg[rows])
+            wide = rows[(w1[rows] - w0[rows]) > 1]
+            for i in wide:
+                arr[int(w0[i]) + 1 : int(w1[i])] = np.minimum(
+                    arr[int(w0[i]) + 1 : int(w1[i])], vo_beg[i]
+                )
+            for w in np.flatnonzero(arr != np.iinfo(np.int64).max):
+                v = int(arr[w])
+                wi = int(w)
+                if wi not in lin or v < lin[wi]:
+                    lin[wi] = v
+
     def finish(self) -> BaiIndex:
         for tid, ri in enumerate(self.refs):
             lin = self._lin[tid]

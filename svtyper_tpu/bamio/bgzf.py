@@ -183,6 +183,30 @@ class BgzfWriter:
         while self._pending:
             self._flush_block(min(len(self._pending), self.MAX_BLOCK))
 
+    def write_bulk(self, data: bytes):
+        """Write ``data`` as full MAX_BLOCK blocks (+ a pending tail)
+        and return the compressed offset of every block boundary:
+        ``offs[i]`` is where block ``i`` starts, so the virtual offset
+        of uncompressed position P within ``data`` is
+        ``offs[P // MAX_BLOCK] << 16 | (P % MAX_BLOCK)`` — the bulk
+        writer's replacement for per-record tell_voffset() calls.
+        Requires an empty pending buffer (call flush() first)."""
+        if self._pending:
+            raise ValueError("write_bulk requires a flushed writer")
+        B = self.MAX_BLOCK
+        offs = []
+        i, n = 0, len(data)
+        while n - i >= B:
+            offs.append(self._fh.tell())
+            self._pending += data[i : i + B]
+            self._flush_block(B)
+            i += B
+        # trailing partial block: tell() is exactly where it will start
+        # once flushed, matching tell_voffset()'s convention
+        offs.append(self._fh.tell())
+        self._pending += data[i:]
+        return offs
+
     def _flush_block(self, n: int) -> None:
         chunk = bytes(self._pending[:n])
         del self._pending[:n]

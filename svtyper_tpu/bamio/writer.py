@@ -126,6 +126,37 @@ class BamWriter:
         vo_end = self._w.tell_voffset()
         self._bai.add(tid, pos, ref_end, vo_beg, vo_end, not (flag & FUNMAP))
 
+    def write_records_bulk(self, raws, tids, poss, ends, flags) -> None:
+        """Bulk form of write_record for pre-framed record bytes (the
+        ``-w`` evidence dump): one BGZF write_bulk per call with record
+        voffsets recovered arithmetically from the block table, instead
+        of two tell_voffset() calls per record. Record content and
+        index are identical to the per-record loop; only the BGZF block
+        framing may differ at bulk-call boundaries (the leading flush
+        can cut a short block), which no reader observes."""
+        import numpy as np
+
+        n = len(raws)
+        if not n:
+            return
+        self._w.flush()  # write_bulk needs a block-aligned start
+        frames = [len(r).to_bytes(4, "little") + r for r in raws]
+        lens = np.fromiter(map(len, frames), np.int64, n)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        offs = np.asarray(self._w.write_bulk(b"".join(frames)),
+                          dtype=np.int64)
+        B = BgzfWriter.MAX_BLOCK
+        vo = (offs[starts // B] << 16) | (starts % B)
+        mapped = (np.asarray(flags, dtype=np.int64) & FUNMAP) == 0
+        bulk = getattr(self._bai, "add_bulk", None)
+        if bulk is not None:
+            bulk(tids, poss, ends, vo[:-1], vo[1:], mapped)
+        else:  # CSI builder: scalar adds
+            for k in range(n):
+                self._bai.add(int(tids[k]), int(poss[k]), int(ends[k]),
+                              int(vo[k]), int(vo[k + 1]), bool(mapped[k]))
+
     def write(
         self,
         qname: str,

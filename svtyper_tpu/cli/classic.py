@@ -393,8 +393,10 @@ def sv_genotype(
                            res.gt_string)
                     )
             out_lines.append(v.get_var_string() + "\n")
-            if writer_bams is not None:
-                writer_bams.add(bp)
+        if writer_bams is not None:
+            # one batched fetch per chunk (rides the block cache the
+            # genotyping pass just warmed) — not per variant
+            writer_bams.add_batch(bps)
         vcf_out.writelines(out_lines)
         if part is not None:
             tmp = part + ".tmp"

@@ -234,3 +234,37 @@ def test_query_many_matches_query(small_bam):
                 ce[row_off[i]:row_off[i + 1]].tolist())
         )
         assert got == want, (i, t, b, e)
+
+
+def test_bai_builder_add_bulk_matches_scalar(tmp_path):
+    """add_bulk (the -w bulk writer's path) must serialize an index
+    byte-identical to per-record add() over the same records."""
+    import numpy as np
+
+    from svtyper_tpu.bamio.bai import BaiBuilder
+
+    rng = np.random.default_rng(12)
+    n = 4000
+    tid = np.sort(rng.integers(0, 3, n))
+    pos = np.concatenate([np.sort(rng.integers(0, 1 << 22, (tid == t).sum()))
+                          for t in range(3)]).astype(np.int64)
+    span = rng.integers(50, 40000, n)  # some spans cross 16K windows
+    end = pos + span
+    vo = np.cumsum(rng.integers(60, 300, n + 1)).astype(np.int64)
+    vo_beg, vo_end = vo[:-1], vo[1:]
+    mapped = rng.random(n) > 0.05
+
+    a = BaiBuilder(3)
+    for k in range(n):
+        a.add(int(tid[k]), int(pos[k]), int(end[k]), int(vo_beg[k]),
+              int(vo_end[k]), bool(mapped[k]))
+    b = BaiBuilder(3)
+    # split across several bulk calls to exercise cross-call merging
+    for lo in (0, 1000, 1001, 2500):
+        hi = {0: 1000, 1000: 1001, 1001: 2500, 2500: n}[lo]
+        b.add_bulk(tid[lo:hi], pos[lo:hi], end[lo:hi], vo_beg[lo:hi],
+                   vo_end[lo:hi], mapped[lo:hi])
+    pa, pb = str(tmp_path / "a.bai"), str(tmp_path / "b.bai")
+    a.finish().save(pa)
+    b.finish().save(pb)
+    assert open(pa, "rb").read() == open(pb, "rb").read()

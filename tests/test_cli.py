@@ -115,6 +115,55 @@ def test_write_alignment(paths):
     assert eb.header.sample_name == "NA12878"
 
 
+def test_write_alignment_matches_per_variant_gather(paths):
+    """The chunk-batched -w collection (r4 fast path) must write
+    EXACTLY the read set the per-variant oracle gather defines
+    (SPEC.md §3): same windows, same flag/library filter, deduplicated.
+    """
+    import numpy as np
+
+    from svtyper_tpu.breakpoints import resolve_breakpoint
+    from svtyper_tpu.oracle.engine import gather_reads
+    from svtyper_tpu.stats import Sample
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+    from svtyper_tpu.vcfio.reader import read_vcf_lines
+
+    d, bam, vcf_path = paths
+    wbam = str(d / "evidence_parity.bam")
+    _run(["-i", vcf_path, "-B", bam, "-o", str(d / "out_wp.vcf"),
+          "-n", "50000", "-w", wbam])
+
+    sample = Sample.from_bam(BamFile(bam), num_samp=50_000)
+    vcf = Vcf()
+    with open(vcf_path) as fh:
+        header, body = read_vcf_lines(fh)
+        body = list(body)
+    vcf.add_header(header)
+    want_vo = set()
+    for line in body:
+        bp = resolve_breakpoint(Variant(line, vcf))
+        if bp is None:
+            continue
+        batch, _ = gather_reads(sample, bp)
+        want_vo.update(int(v) for v in batch.voffset)
+    src = sample.bam.fetch("chr1", 0, REFS[0][1])
+    sel = np.flatnonzero(np.isin(src.voffset.astype(np.int64),
+                                 np.asarray(sorted(want_vo))))
+    want = sorted(
+        (int(src.tid[i]), int(src.pos[i]), int(src.ref_end[i]),
+         int(src.flag[i]), int(src.qname_hash[i]))
+        for i in sel
+    )
+    got_b = BamFile(wbam).fetch("chr1", 0, REFS[0][1])
+    got = sorted(
+        (int(got_b.tid[i]), int(got_b.pos[i]), int(got_b.ref_end[i]),
+         int(got_b.flag[i]), int(got_b.qname_hash[i]))
+        for i in range(got_b.n)
+    )
+    assert len(want) == len(want_vo)  # full-range fetch found them all
+    assert got == want
+
+
 def test_sso_single_sample(paths):
     d, bam, vcf = paths
     out = str(d / "out_sso.vcf")
