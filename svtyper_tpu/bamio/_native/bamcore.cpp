@@ -422,6 +422,56 @@ struct SaInfo {
   bool present = false;
 };
 
+// SAM spec §4.2.2 long-CIGAR form: a record with >65535 ops stores a
+// kSmN placeholder (k = l_seq, m = reference span) in the cigar field
+// and the true op array (same u32 len<<4|op encoding) in a CG:B,I aux
+// tag. Returns the op array + count when the placeholder matches and
+// the tag exists; nullptr otherwise (use the in-record cigar).
+static const uint8_t* cg_long_cigar(const uint8_t* cig, uint32_t n_cig,
+                                    int32_t l_seq, const uint8_t* aux,
+                                    size_t aux_len, uint32_t* out_n) {
+  if (n_cig != 2 || l_seq <= 0) return nullptr;
+  uint32_t c0, c1;
+  memcpy(&c0, cig, 4);
+  memcpy(&c1, cig + 4, 4);
+  if ((c0 & 0xF) != 4 || (c1 & 0xF) != 3) return nullptr;
+  if ((int32_t)(c0 >> 4) != l_seq) return nullptr;
+  size_t p = 0;
+  while (p + 3 <= aux_len) {
+    uint8_t t0 = aux[p], t1 = aux[p + 1], typ = aux[p + 2];
+    p += 3;
+    switch (typ) {
+      case 'A': case 'c': case 'C': p += 1; break;
+      case 's': case 'S': p += 2; break;
+      case 'i': case 'I': case 'f': p += 4; break;
+      case 'Z': case 'H': {
+        while (p < aux_len && aux[p]) p++;
+        p++;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > aux_len) return nullptr;
+        uint8_t sub = aux[p];
+        uint32_t cnt;
+        memcpy(&cnt, aux + p + 1, 4);
+        size_t esz = (sub == 'c' || sub == 'C' || sub == 'A') ? 1
+                     : (sub == 's' || sub == 'S')             ? 2
+                                                              : 4;
+        if (t0 == 'C' && t1 == 'G' && sub == 'I') {
+          if (p + 5 + 4ull * cnt > aux_len) return nullptr;
+          *out_n = cnt;
+          return aux + p + 5;
+        }
+        p += 5 + (size_t)cnt * esz;
+        break;
+      }
+      default:
+        return nullptr;
+    }
+  }
+  return nullptr;
+}
+
 // parse first entry of SA:Z: value (rname,pos,strand,cigar,mapq,nm;)
 static void parse_sa(const uint8_t* s, const uint8_t* send,
                      const char* const* ref_names, int n_ref, SaInfo* out) {
@@ -470,10 +520,10 @@ static void parse_sa(const uint8_t* s, const uint8_t* send,
     }
     if (op == 4 || op == 5) {
       if (!seen_core) lclip += (int32_t)num;
-      else pend_clip += (int32_t)num;
+      pend_clip += (int32_t)num;  // trailing stack: see walk comment
     } else {
-      if (op != 6) seen_core = true;
-      if (pend_clip && seen_core) { pend_clip = 0; }  // clips inside? malformed
+      seen_core = true;  // any non-clip (incl. P) ends both stacks
+      pend_clip = 0;
       if (OP_CR & (1u << op)) ref_len += (int32_t)num;
     }
     num = 0;
@@ -561,7 +611,20 @@ long svt_decode(void* vh,
     size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
     off += l_rn;
 
-    // cigar walk
+    // cigar walk (CG-aware: >65535-op records walk the CG:B,I array)
+    const uint8_t* eff_ops = rec.data() + off;
+    uint32_t eff_n = n_cig;
+    {
+      const size_t aux_off =
+          off + 4ull * n_cig + ((size_t)l_seq + 1) / 2 + (size_t)l_seq;
+      if (n_cig == 2 && aux_off <= rec.size()) {
+        uint32_t cgn = 0;
+        const uint8_t* cg =
+            cg_long_cigar(eff_ops, n_cig, l_seq, rec.data() + aux_off,
+                          rec.size() - aux_off, &cgn);
+        if (cg) { eff_ops = cg; eff_n = cgn; }
+      }
+    }
     int32_t cur = pos, ref_aln = 0, qlen = 0;
     int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
     bstart.clear();
@@ -570,12 +633,12 @@ long svt_decode(void* vh,
     // leading clips
     {
       // first pass for features
-      size_t coff = off;
+      size_t coff = 0;
       bool leading = true;
       int32_t trail_clip = 0, trail_soft = 0;
-      for (uint16_t i = 0; i < n_cig; i++) {
+      for (uint32_t i = 0; i < eff_n; i++) {
         uint32_t v;
-        memcpy(&v, rec.data() + coff, 4);
+        memcpy(&v, eff_ops + coff, 4);
         coff += 4;
         uint32_t op = v & 0xF, len = v >> 4;
         bool is_clip = (op == 4 || op == 5);
@@ -583,11 +646,14 @@ long svt_decode(void* vh,
           if (leading) {
             lclip += (int32_t)len;
             if (op == 4) lsoft += (int32_t)len;
-          } else {
-            trail_clip += (int32_t)len;
-            if (op == 4) trail_soft += (int32_t)len;
           }
-        } else if (op != 6) {
+          // trailing stack accumulates over EVERY clip op and resets
+          // at any non-clip (incl. P): an all-clip CIGAR is seen by
+          // BOTH sides, matching CigarFeatures' independent end
+          // scans (fuzz-found divergence, r4)
+          trail_clip += (int32_t)len;
+          if (op == 4) trail_soft += (int32_t)len;
+        } else {
           leading = false;
           trail_clip = 0;
           trail_soft = 0;
@@ -857,6 +923,34 @@ long svt_fetch_many(void* vh,
         size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
         size_t off = l_rn;
 
+        // CG-aware: a kSmN placeholder (possible >65535-op record)
+        // forces the seq skip + aux read EARLY so the true op array
+        // (CG:B,I) can drive the feature walk below
+        const uint8_t* eff_ops = rec.data() + off;
+        uint32_t eff_n = n_cig;
+        bool aux_loaded = false;
+        if (n_cig == 2) {
+          uint32_t c0, c1;
+          memcpy(&c0, rec.data() + off, 4);
+          memcpy(&c1, rec.data() + off + 4, 4);
+          if ((c0 & 0xF) == 4 && (c1 & 0xF) == 3 &&
+              (int32_t)(c0 >> 4) == l_seq) {
+            if (!vs.skip(sq_len)) break;
+            rest -= sq_len;
+            aux.resize(rest);
+            if (rest && !vs.read(aux.data(), rest)) {
+              { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
+              return -1;
+            }
+            aux_loaded = true;
+            uint32_t cgn = 0;
+            const uint8_t* cg = cg_long_cigar(
+                rec.data() + off, n_cig, l_seq, aux.data(), aux.size(),
+                &cgn);
+            if (cg) { eff_ops = cg; eff_n = cgn; }
+          }
+        }
+
         int32_t cur = pos, ref_aln = 0, qlen = 0;
         int32_t lsoft = 0, rsoft = 0, lclip = 0, rclip = 0;
         int64_t cov_acc_a = 0, cov_acc_b = 0;
@@ -864,12 +958,12 @@ long svt_fetch_many(void* vh,
         bend.clear();
         int32_t open_start = INT32_MIN;
         {
-          size_t coff = off;
+          size_t coff = 0;
           bool leading = true;
           int32_t trail_clip = 0, trail_soft = 0;
-          for (uint16_t i = 0; i < n_cig; i++) {
+          for (uint32_t i = 0; i < eff_n; i++) {
             uint32_t v;
-            memcpy(&v, rec.data() + coff, 4);
+            memcpy(&v, eff_ops + coff, 4);
             coff += 4;
             uint32_t op = v & 0xF, len = v >> 4;
             bool is_clip = (op == 4 || op == 5);
@@ -877,11 +971,14 @@ long svt_fetch_many(void* vh,
               if (leading) {
                 lclip += (int32_t)len;
                 if (op == 4) lsoft += (int32_t)len;
-              } else {
-                trail_clip += (int32_t)len;
-                if (op == 4) trail_soft += (int32_t)len;
               }
-            } else if (op != 6) {
+              // trailing stack accumulates over EVERY clip op and resets
+              // at any non-clip (incl. P): an all-clip CIGAR is seen by
+              // BOTH sides, matching CigarFeatures' independent end
+              // scans (fuzz-found divergence, r4)
+              trail_clip += (int32_t)len;
+              if (op == 4) trail_soft += (int32_t)len;
+            } else {
               leading = false;
               trail_clip = 0;
               trail_soft = 0;
@@ -916,15 +1013,17 @@ long svt_fetch_many(void* vh,
         }
         int32_t ref_end = cur;
         if (ref_end <= rlo) {
-          if (!vs.skip(rest)) break;
+          if (!aux_loaded && !vs.skip(rest)) break;
           continue;
         }
-        if (!vs.skip(sq_len)) break;  // seq + qual never copied
-        rest -= sq_len;
-        aux.resize(rest);
-        if (rest && !vs.read(aux.data(), rest)) {
-          { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
-          return -1;
+        if (!aux_loaded) {
+          if (!vs.skip(sq_len)) break;  // seq + qual never copied
+          rest -= sq_len;
+          aux.resize(rest);
+          if (rest && !vs.read(aux.data(), rest)) {
+            { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated record"; }
+            return -1;
+          }
         }
 
         int32_t lib = -1;
@@ -1364,6 +1463,17 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
           size_t qname_len = l_rn ? (size_t)l_rn - 1 : 0;
           const uint8_t* cig = rp + 32 + l_rn;
 
+          // CG-aware: >65535-op records walk the CG:B,I array
+          const uint8_t* eff_ops = cig;
+          uint32_t eff_n = n_cig;
+          if (n_cig == 2) {
+            uint32_t cgn = 0;
+            const uint8_t* cg = cg_long_cigar(
+                cig, n_cig, l_seq, rp + 32 + head_len + sq_len,
+                (size_t)block_size - 32 - head_len - sq_len, &cgn);
+            if (cg) { eff_ops = cg; eff_n = cgn; }
+          }
+
           // single cigar walk: ref span, clips, and breakpoint
           // coverage in one pass (left-of-window records drop on the
           // ref_end test below — no separate pre-skip walk)
@@ -1373,20 +1483,23 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
           {
             bool leading = true;
             int32_t trail_clip = 0, trail_soft = 0;
-            for (uint16_t i = 0; i < n_cig; i++) {
+            for (uint32_t i = 0; i < eff_n; i++) {
               uint32_t cv;
-              memcpy(&cv, cig + 4ull * i, 4);
+              memcpy(&cv, eff_ops + 4ull * i, 4);
               uint32_t op = cv & 0xF, len = cv >> 4;
               bool is_clip = (op == 4 || op == 5);
               if (is_clip) {
                 if (leading) {
                   lclip += (int32_t)len;
                   if (op == 4) lsoft += (int32_t)len;
-                } else {
-                  trail_clip += (int32_t)len;
-                  if (op == 4) trail_soft += (int32_t)len;
                 }
-              } else if (op != 6) {
+                // trailing stack accumulates over EVERY clip op and resets
+                // at any non-clip (incl. P): an all-clip CIGAR is seen by
+                // BOTH sides, matching CigarFeatures' independent end
+                // scans (fuzz-found divergence, r4)
+                trail_clip += (int32_t)len;
+                if (op == 4) trail_soft += (int32_t)len;
+              } else {
                 leading = false;
                 trail_clip = 0;
                 trail_soft = 0;

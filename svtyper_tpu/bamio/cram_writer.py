@@ -123,6 +123,7 @@ class CramWriter:
 
     def __init__(self, path: str, refs: Sequence[Tuple[str, int]],
                  header_text: str = "", records_per_slice: int = 4096,
+                 slices_per_container: int = 1,
                  ) -> None:
         self.path = path
         self.refs = list(refs)
@@ -136,6 +137,10 @@ class CramWriter:
         hdr = ContainerHeader.emit(-1, 0, 0, 0, 0, 0, 1, [], len(blk))
         self._fh.write(hdr + bytes(blk))
         self._per_slice = records_per_slice
+        # htslib packs multiple slices into one container (one shared
+        # compression header, landmark per slice); >1 exercises the
+        # reader's multi-slice path with our own writer
+        self._slices_per_container = max(1, slices_per_container)
         self._recs: List[dict] = []
         self._cur_tid: Optional[int] = None
         self._counter = 0
@@ -195,7 +200,7 @@ class CramWriter:
                 )
             self._last_pos = (tid, pos)
         if self._recs and (
-            len(self._recs) >= self._per_slice
+            len(self._recs) >= self._per_slice * self._slices_per_container
             or (self._cur_tid is not None and tid != self._cur_tid)
         ):
             self._flush_container()
@@ -219,11 +224,16 @@ class CramWriter:
         })
 
     # ------------------------------------------------------------ flush
-    def _flush_container(self) -> None:
-        recs, self._recs = self._recs, []
-        if not recs:
-            return
-        tid = recs[0]["tid"]
+    def _encode_slice(
+        self,
+        recs: List[dict],
+        tid: int,
+        tag_ids: Dict[Tuple[bytes, int], Tuple[int, int]],
+        first_rec_counter: int,
+    ):
+        """Encode one slice's records → (slice-header bytes, start,
+        span, external streams). ``tag_ids`` is shared across a
+        container's slices (the compression header is per container)."""
         start = min(r["pos"] for r in recs) + 1  # 1-based
         span = max(r["ref_end"] for r in recs) - (start - 1)
         streams: Dict[int, bytearray] = {}
@@ -237,7 +247,7 @@ class CramWriter:
         def put_int(key: bytes, v: int) -> None:
             write_itf8(s(_IDS[key]), v)
 
-        tag_ids: Dict[Tuple[bytes, int], Tuple[int, int]] = {}
+        # AP delta base = the SLICE's start (reader: prev_ap = sh.start)
         prev_ap = start
         for r in recs:
             ap = r["pos"] + 1
@@ -279,7 +289,6 @@ class CramWriter:
                         s(_ID_IN_VAL).extend(val)
                 put_int(b"MQ", r["mapq"])
 
-        comp = self._compression_header(tag_ids)
         content_ids = sorted(streams)
         sh = bytearray()
         write_itf8(sh, tid)
@@ -288,9 +297,9 @@ class CramWriter:
         write_itf8(sh, len(recs))
         from svtyper_tpu.bamio.cram import write_ltf8
 
-        # both the slice header and the container header carry the
-        # record counter of the container's FIRST record (CRAM 3.0 §8)
-        first_rec_counter = self._counter
+        # the slice header carries the record counter of ITS first
+        # record; the container header carries the container's
+        # (CRAM 3.0 §8)
         write_ltf8(sh, first_rec_counter)
         write_itf8(sh, 1 + len(content_ids))  # core + externals
         write_itf8(sh, len(content_ids))
@@ -298,30 +307,56 @@ class CramWriter:
             write_itf8(sh, cid)
         write_itf8(sh, -1)  # no embedded reference
         sh.extend(b"\x00" * 16)  # md5 not computed (RR=false)
-        self._counter += len(recs)
+        return sh, start, span, streams
 
+    def _flush_container(self) -> None:
+        recs_all, self._recs = self._recs, []
+        if not recs_all:
+            return
+        tid = recs_all[0]["tid"]
+        groups = [
+            recs_all[i : i + self._per_slice]
+            for i in range(0, len(recs_all), self._per_slice)
+        ]
+        tag_ids: Dict[Tuple[bytes, int], Tuple[int, int]] = {}
+        encoded = []
+        counter = self._counter
+        for g in groups:
+            encoded.append(self._encode_slice(g, tid, tag_ids, counter))
+            counter += len(g)
+
+        comp = self._compression_header(tag_ids)
         blocks = bytearray()
         write_block(blocks, M_GZIP, CT_COMP_HEADER, 0, bytes(comp))
-        landmark = len(blocks)
-        slice_blocks = bytearray()
-        write_block(slice_blocks, M_RAW, CT_SLICE_HEADER, 0, bytes(sh))
-        write_block(slice_blocks, M_RAW, CT_CORE, 0, b"")
         rans_ids = {_IDS[k] for k in _RANS_SERIES}
-        for cid in content_ids:
-            method = M_RANS if cid in rans_ids else M_GZIP
-            write_block(slice_blocks, method, CT_EXTERNAL, cid,
-                        bytes(streams[cid]))
-        blocks.extend(slice_blocks)
+        landmarks = []
+        crai_rows = []
+        for sh, s_start, s_span, streams in encoded:
+            landmarks.append(len(blocks))
+            slice_blocks = bytearray()
+            write_block(slice_blocks, M_RAW, CT_SLICE_HEADER, 0, bytes(sh))
+            write_block(slice_blocks, M_RAW, CT_CORE, 0, b"")
+            for cid in sorted(streams):
+                method = M_RANS if cid in rans_ids else M_GZIP
+                write_block(slice_blocks, method, CT_EXTERNAL, cid,
+                            bytes(streams[cid]))
+            blocks.extend(slice_blocks)
+            crai_rows.append(
+                (tid, s_start, s_span, landmarks[-1], len(slice_blocks))
+            )
+        start = min(r["pos"] for r in recs_all) + 1
+        span = max(r["ref_end"] for r in recs_all) - (start - 1)
+        n_blocks = 1 + sum(2 + len(st) for _, _, _, st in encoded)
         hdr = ContainerHeader.emit(
-            tid, start, span, len(recs), first_rec_counter,
-            sum(r["rl"] for r in recs), 2 + 1 + len(content_ids),
-            [landmark], len(blocks),
+            tid, start, span, len(recs_all), self._counter,
+            sum(r["rl"] for r in recs_all), n_blocks,
+            landmarks, len(blocks),
         )
         c_off = self._fh.tell()
         self._fh.write(hdr + bytes(blocks))
-        self._crai.append(
-            (tid, start, span, c_off, landmark, len(slice_blocks))
-        )
+        for t, s_start, s_span, s_off, s_len in crai_rows:
+            self._crai.append((t, s_start, s_span, c_off, s_off, s_len))
+        self._counter += len(recs_all)
 
     def _compression_header(self, tag_ids) -> bytearray:
         pres = bytearray()

@@ -39,6 +39,29 @@ def _fnv1a(data: bytes) -> int:
     return h
 
 
+def _scan_cg(buf: bytes, off: int, end: int) -> Optional[List[Tuple[int, int]]]:
+    """CG:B,I op array for the >65535-op long-CIGAR form (SAM spec
+    §4.2.2): the record's cigar field holds a kSmN placeholder and the
+    true ops (same len<<4|op encoding) live in this aux tag."""
+    while off + 3 <= end:
+        tag = buf[off : off + 2]
+        typ = buf[off + 2]
+        off += 3
+        if typ in (ord("Z"), ord("H")):
+            nul = buf.index(0, off, end)
+            off = nul + 1
+        elif typ == ord("B"):
+            sub = buf[off]
+            cnt = struct.unpack_from("<I", buf, off + 1)[0]
+            if tag == b"CG" and sub == ord("I"):
+                vals = struct.unpack_from("<%dI" % cnt, buf, off + 5)
+                return [(v & 0xF, v >> 4) for v in vals]
+            off += 5 + cnt * _TAG_SIZES[sub]
+        else:
+            off += _TAG_SIZES[typ]
+    return None
+
+
 def _scan_tags(buf: bytes, off: int, end: int) -> Tuple[Optional[bytes], Optional[bytes]]:
     """Return (RG value, SA value) Z-tag bytes if present."""
     rg = sa = None
@@ -236,6 +259,16 @@ def decode_stream(
             (v,) = struct.unpack_from("<I", rec, off)
             cig_ops.append((v & 0xF, v >> 4))
             off += 4
+        if (
+            n_cig == 2 and l_seq > 0 and cig_ops[0] == (4, l_seq)
+            and cig_ops[1][0] == 3
+        ):
+            # possible long-CIGAR placeholder (kSmN): use CG:B,I ops
+            cg_ops = _scan_cg(
+                rec, off + (l_seq + 1) // 2 + l_seq, block_size
+            )
+            if cg_ops is not None:
+                cig_ops = cg_ops
         feats = CigarFeatures(pos, cig_ops)
         if region is not None and feats.ref_end <= region[1]:
             continue  # no overlap with [start, end)

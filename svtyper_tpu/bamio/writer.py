@@ -39,6 +39,19 @@ def encode_record(
     l_seq = len(seq)
     feats = CigarFeatures(pos, cigar)
     bin_ = _reg2bin_for(pos, feats.ref_end) if pos >= 0 else 4680
+    cg_ops = None
+    if n_cig > 0xFFFF:
+        # SAM spec §4.2.2 long-CIGAR form: n_cigar_op is u16, so the
+        # record carries a kSmN placeholder and the true ops move to a
+        # CG:B,I aux tag (appended after any user tags below)
+        if l_seq == 0:
+            raise ValueError(
+                ">65535-op CIGAR requires SEQ (the kS placeholder "
+                "encodes l_seq)"
+            )
+        cg_ops = cigar
+        cigar = [(4, l_seq), (3, feats.ref_end - pos)]
+        n_cig = 2
     body = bytearray()
     body += struct.pack(
         "<iiBBHHHIiii",
@@ -57,18 +70,29 @@ def encode_record(
             packed[i // 2] |= code
     body += packed
     body += qual if qual is not None else b"\xff" * l_seq
+    _SCALAR = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i",
+               "I": "<I", "f": "<f"}
     for tag, (typ, val) in (tags or {}).items():
         body += tag.encode() + typ.encode()
-        if typ == "Z":
+        if typ in ("Z", "H"):  # H = hex string, same wire form as Z
             body += str(val).encode() + b"\x00"
-        elif typ == "i":
-            body += struct.pack("<i", int(val))
         elif typ == "A":
             body += str(val).encode()[:1]
-        elif typ == "f":
-            body += struct.pack("<f", float(val))
+        elif typ in _SCALAR:
+            body += struct.pack(_SCALAR[typ], val)
+        elif typ == "B":
+            sub, items = val  # (subtype char, sequence)
+            body += sub.encode()
+            body += struct.pack("<I", len(items))
+            body += struct.pack(
+                "<%d%s" % (len(items), _SCALAR[sub][1]), *items
+            )
         else:
             raise ValueError("unsupported tag type %r" % typ)
+    if cg_ops is not None:
+        body += b"CGBI" + struct.pack("<I", len(cg_ops))
+        for op, ln in cg_ops:
+            body += struct.pack("<I", (ln << 4) | op)
     return bytes(body)
 
 
