@@ -163,6 +163,26 @@ def sv_genotype(
             return [engine.genotype_variant(bp) if bp is not None
                     else [None] * len(samples) for bp in bps]
     else:
+        # persistent XLA compile cache: without it every CLI run pays
+        # the full remote-compile cost per shape bucket (~30s/bucket on
+        # the axon tunnel; measured 80s of a 86s 9600-variant run).
+        # jax honors JAX_COMPILATION_CACHE_DIR itself when set.
+        if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+            import jax
+
+            try:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.environ.get(
+                        "SVT_JAX_CACHE",
+                        os.path.expanduser("~/.cache/svtyper-tpu/jaxcache"),
+                    ),
+                )
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0
+                )
+            except Exception:
+                pass
         from svtyper_tpu.gt import TpuEngine
 
         engine = TpuEngine(
@@ -335,45 +355,34 @@ def sv_genotype(
     bnd_results: dict = {}
     bnd_computed: set = set()
 
-    def flush():
-        nonlocal n_done, chunk_idx
-        if not pending:
-            return
-        # chunk checkpoint/resume (SURVEY.md §5): a completed chunk's
-        # formatted lines are spilled to a part file; a rerun with the
-        # same input and batch_size replays them without re-genotyping
-        part = None
-        if checkpoint_dir:
-            part = os.path.join(checkpoint_dir, "part_%06d.vcfpart" % chunk_idx)
-            chunk_idx += 1
-            if os.path.exists(part):
-                with open(part) as fh:
-                    for line in fh:
-                        vcf_out.write(line)
-                n_done += len(pending)
-                pending.clear()
-                crash.chunk_done()
-                return
-        bps = [registry.resolve(v) for v in pending]
-        for v, bp in zip(pending, bps):
+    def plan_chunk(vars_):
+        """bps + run_bps for one chunk (run order = feed order): the
+        second record of an already-computed breakend event gets
+        ``run_bps[i] = None`` — its row is copied from the mate at
+        emission."""
+        bps = [registry.resolve(v) for v in vars_]
+        for v, bp in zip(vars_, bps):
             if bp is None:
                 sys.stderr.write(
                     "Warning: skipping variant %s, SVTYPE %s not supported\n"
                     % (v.var_id, v.get_info("SVTYPE"))
                 )
-        # skip evidence work for the second record of an already-
-        # computed breakend event: its row is copied from the mate
         run_bps = list(bps)
-        for i, (v, bp) in enumerate(zip(pending, bps)):
+        for i, (v, bp) in enumerate(zip(vars_, bps)):
             if bp is not None and bp.svtype == "BND":
                 mate_id = v.get_info("MATEID")
                 if mate_id and mate_id in bnd_computed:
                     run_bps[i] = None
                 else:
                     bnd_computed.add(v.var_id)
-        rows = run_chunk(run_bps)
+        return bps, run_bps
+
+    def emit_chunk(vars_, bps, rows, part):
+        """Format + write one genotyped chunk (BND mate sharing, QUAL
+        aggregation, -w collection, part spill, progress)."""
+        nonlocal n_done
         out_lines: List[str] = []
-        for v, bp, res_row in zip(pending, bps, rows):
+        for v, bp, res_row in zip(vars_, bps, rows):
             if bp is None:
                 out_lines.append(v.get_var_string() + "\n")
                 continue
@@ -403,8 +412,7 @@ def sv_genotype(
             with open(tmp, "w") as fh:
                 fh.writelines(out_lines)
             os.replace(tmp, part)
-        n_done += len(pending)
-        pending.clear()
+        n_done += len(vars_)
         crash.chunk_done()
         if verbose:
             dt = time.time() - t_gt
@@ -412,6 +420,30 @@ def sv_genotype(
                 "genotyped %d variants (%.1f variants/s)\n"
                 % (n_done, n_done / dt if dt > 0 else 0.0)
             )
+
+    def flush():
+        nonlocal n_done, chunk_idx
+        if not pending:
+            return
+        # chunk checkpoint/resume (SURVEY.md §5): a completed chunk's
+        # formatted lines are spilled to a part file; a rerun with the
+        # same input and batch_size replays them without re-genotyping
+        part = None
+        if checkpoint_dir:
+            part = os.path.join(checkpoint_dir, "part_%06d.vcfpart" % chunk_idx)
+            chunk_idx += 1
+            if os.path.exists(part):
+                with open(part) as fh:
+                    for line in fh:
+                        vcf_out.write(line)
+                n_done += len(pending)
+                pending.clear()
+                crash.chunk_done()
+                return
+        bps, run_bps = plan_chunk(pending)
+        rows = run_chunk(run_bps)
+        emit_chunk(pending, bps, rows, part)
+        pending.clear()
 
     # contiguous variant sharding for multi-host runs (SURVEY.md §2.1):
     # this process emits only records in [shard, in input order; shard
@@ -425,11 +457,72 @@ def sv_genotype(
         lo, hi = shard_slices(len(body), num_shards)[shard_index]
         body = body[lo:hi]
 
-    for line in body:
-        pending.append(Variant(line, vcf))
-        if len(pending) >= batch_size:
-            flush()
-    flush()
+    if engine_kind == "tpu" and n_procs == 1:
+        # streaming drive: chunk PLANS feed the engine's pipelined
+        # genotype_stream (prep thread / async dispatch / collect
+        # thread), while this loop formats chunks in input order as
+        # their rows surface. The old per-chunk genotype_chunk drive
+        # serialized prep→transfer→sync per chunk, exposing the full
+        # device round-trip latency on every chunk (measured 100x slower
+        # than the engine itself through the axon tunnel).
+        import itertools
+
+        def chunk_plans():
+            nonlocal chunk_idx
+            pend: List[Variant] = []
+
+            def mk(vars_):
+                nonlocal chunk_idx
+                part = None
+                if checkpoint_dir:
+                    part = os.path.join(
+                        checkpoint_dir, "part_%06d.vcfpart" % chunk_idx
+                    )
+                    chunk_idx += 1
+                    if os.path.exists(part):
+                        return (vars_, None, None, part, True)
+                bps, run_bps = plan_chunk(vars_)
+                return (vars_, bps, run_bps, part, False)
+
+            for line in body:
+                pend.append(Variant(line, vcf))
+                if len(pend) >= batch_size:
+                    yield mk(pend)
+                    pend = []
+            if pend:
+                yield mk(pend)
+
+        # two views of one plan stream: the feed side is consumed by
+        # genotype_stream's pump (same thread, during next()), the
+        # format side below — tee buffers only the in-flight chunks
+        plans_feed, plans_fmt = itertools.tee(chunk_plans())
+
+        def bp_feed():
+            for _v, _b, run_bps, _p, replay in plans_feed:
+                if not replay:
+                    yield from run_bps
+
+        flat = (
+            row
+            for chunk_rows in engine.genotype_stream(bp_feed())
+            for row in chunk_rows
+        )
+        for vars_, bps, run_bps, part, replay in plans_fmt:
+            if replay:
+                with open(part) as fh:
+                    for line in fh:
+                        vcf_out.write(line)
+                n_done += len(vars_)
+                crash.chunk_done()
+                continue
+            rows = [next(flat) for _ in range(len(vars_))]
+            emit_chunk(vars_, bps, rows, part)
+    else:
+        for line in body:
+            pending.append(Variant(line, vcf))
+            if len(pending) >= batch_size:
+                flush()
+        flush()
     if writer_bams is not None:
         writer_bams.close()
     if verbose and hasattr(engine, "stats"):
