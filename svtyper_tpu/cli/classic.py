@@ -270,18 +270,21 @@ def sv_genotype(
 
         slices = shard_slices(len(body), n_procs)
         lo, hi = slices[proc_id]
-        chunk_arrs: List[np.ndarray] = []
-        for c0 in range(lo, hi, batch_size):
+
+        def slice_plans():
             # per-chunk row spill (pre-gather): a restarted shard
             # replays completed chunks from disk and recomputes only
             # the remainder, so the allgathered row stream stays
             # synchronized across hosts (SURVEY.md §5 checkpoint row)
-            part = (
-                rows_part_path(checkpoint_dir, proc_id, c0)
-                if checkpoint_dir else None
-            )
-            cached = load_rows(part) if part else None
-            if cached is None:
+            for c0 in range(lo, hi, batch_size):
+                part = (
+                    rows_part_path(checkpoint_dir, proc_id, c0)
+                    if checkpoint_dir else None
+                )
+                cached = load_rows(part) if part else None
+                if cached is not None:
+                    yield None, cached, part
+                    continue
                 chunk_vars = [
                     Variant(line, vcf)
                     for line in body[c0 : min(c0 + batch_size, hi)]
@@ -289,19 +292,52 @@ def sv_genotype(
                 # registry.resolve gives BOTH mates of a BND pair the
                 # same anchor breakpoint, so hosts compute identical
                 # rows even when a pair straddles a shard boundary
-                bps_chunk = [registry.resolve(v) for v in chunk_vars]
-                res = run_chunk(bps_chunk)
-                cached = np.zeros(
-                    (len(res), len(sample_names), ROW_WIDTH),
-                    dtype=np.float64,
-                )
-                for j, row in enumerate(res):
-                    for s, r in enumerate(row):
-                        cached[j, s] = result_to_row(r)
-                if part:
-                    save_rows(part, cached)
-            chunk_arrs.append(cached)
-            crash.chunk_done()
+                yield [registry.resolve(v) for v in chunk_vars], None, part
+
+        def encode_rows(res):
+            arr = np.zeros(
+                (len(res), len(sample_names), ROW_WIDTH), dtype=np.float64
+            )
+            for j, row in enumerate(res):
+                for s, r in enumerate(row):
+                    arr[j, s] = result_to_row(r)
+            return arr
+
+        chunk_arrs: List[np.ndarray] = []
+        if engine_kind == "tpu":
+            # pipelined drive (same rationale as the single-host stream
+            # below): feed every to-compute chunk through
+            # genotype_stream and encode rows as they surface
+            import itertools
+
+            plans_feed, plans_fmt = itertools.tee(slice_plans())
+
+            def feed():
+                for bps_chunk, cached, _p in plans_feed:
+                    if cached is None:
+                        yield from bps_chunk
+
+            flat = (
+                row
+                for cr in engine.genotype_stream(feed())
+                for row in cr
+            )
+            for bps_chunk, cached, part in plans_fmt:
+                if cached is None:
+                    res = [next(flat) for _ in range(len(bps_chunk))]
+                    cached = encode_rows(res)
+                    if part:
+                        save_rows(part, cached)
+                chunk_arrs.append(cached)
+                crash.chunk_done()
+        else:
+            for bps_chunk, cached, part in slice_plans():
+                if cached is None:
+                    cached = encode_rows(run_chunk(bps_chunk))
+                    if part:
+                        save_rows(part, cached)
+                chunk_arrs.append(cached)
+                crash.chunk_done()
         arr = (
             np.concatenate(chunk_arrs, axis=0)
             if chunk_arrs
