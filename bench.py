@@ -234,10 +234,15 @@ def _measure():
         engine.stats[k] = 0
 
     cold_bps = bps[warm_n:]
+    if not cold_bps:
+        sys.stderr.write(
+            "WARNING: SVT_BENCH_VARIANTS <= chunk size — the warmup "
+            "consumed every variant, cold metrics not measurable\n"
+        )
     t0 = time.time()
     results = engine.genotype_all(cold_bps)
     dt_cold = time.time() - t0
-    cold_vps = len(cold_bps) / dt_cold
+    cold_vps = len(cold_bps) / dt_cold if cold_bps else 0.0
     n_called = sum(1 for row in results if not row[0].null)
     st = dict(engine.stats)
     sys.stderr.write(
@@ -271,8 +276,10 @@ def _measure():
                 "unit": "variants/s",
                 "vs_baseline": round(warm_vps / oracle_vps, 2),
                 "oracle_vps": round(oracle_vps, 2),
-                "cold_vps": round(cold_vps, 2),
-                "cold_vs_baseline": round(cold_vps / oracle_vps, 2),
+                "cold_vps": round(cold_vps, 2) if cold_bps else None,
+                "cold_vs_baseline": (
+                    round(cold_vps / oracle_vps, 2) if cold_bps else None
+                ),
                 "n_measured": len(bps),
                 "n_cold": len(cold_bps),
                 "chunk_size": chunk,

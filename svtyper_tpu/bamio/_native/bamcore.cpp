@@ -140,12 +140,42 @@ struct BlockCache {
   size_t cap = 0;
 
   BlockCache() {
-    // default 4 GiB: WGS-scale fetch streams carry multi-GB inflated
-    // working sets, and a too-small cache re-inflates warm passes
-    // (production hosts have the RAM; SVT_BLOCK_CACHE_MB overrides,
-    // 0 disables)
+    // default: a quarter of RAM (cgroup-v2-aware), clamped to
+    // [256 MB, 4 GiB] per handle. WGS-scale fetch streams carry
+    // multi-GB inflated working sets and a too-small cache re-inflates
+    // warm passes, but a fixed large default would OOM memory-limited
+    // containers. SVT_BLOCK_CACHE_MB overrides; 0 disables.
     const char* e = getenv("SVT_BLOCK_CACHE_MB");
-    long mb = e ? atol(e) : 4096;
+    long mb;
+    if (e) {
+      mb = atol(e);
+    } else {
+      long ram_mb = 4096;  // probe-failure fallback
+      FILE* f = fopen("/proc/meminfo", "r");
+      if (f) {
+        char key[64];
+        long val;
+        char unit[16];
+        while (fscanf(f, "%63s %ld %15s", key, &val, unit) == 3) {
+          if (strcmp(key, "MemTotal:") == 0) {
+            ram_mb = val / 1024;
+            break;
+          }
+        }
+        fclose(f);
+      }
+      FILE* g = fopen("/sys/fs/cgroup/memory.max", "r");
+      if (g) {
+        long long lim;
+        if (fscanf(g, "%lld", &lim) == 1 && lim > 0 &&
+            lim / (1024 * 1024) < ram_mb)
+          ram_mb = (long)(lim / (1024 * 1024));
+        fclose(g);
+      }
+      mb = ram_mb / 4;
+      if (mb > 4096) mb = 4096;
+      if (mb < 256) mb = 256;
+    }
     if (mb < 0) mb = 0;
     cap = (size_t)mb << 20;
   }

@@ -140,90 +140,115 @@ def get_lib():
         return _lib
 
 
-# NOTE: 8-space body so the block below could move verbatim out of
-# get_lib(); post-v1 entry points bound best-effort — an AttributeError
-# on a stale .so leaves the v1 symbols usable (callers hasattr-guard
-# the newer ones).
 def _bind_extended(lib) -> None:
-        lib.svt_set_names.restype = None
-        lib.svt_set_names.argtypes = [
-            C.c_void_p,
-            C.POINTER(C.c_char_p), C.c_int32,
-            C.POINTER(C.c_char_p), C.c_int32,
-        ]
-        lib.svt_fetch_many.restype = C.c_long
-        lib.svt_fetch_many.argtypes = [
-            C.c_void_p,
-            C.c_int64,
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64),
-            C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
-            # filter block: drop_flags, rg_keep, rg_to_lib, n_rg_tab,
-            # cov_tid_a, cov_pos_a, cov_tid_b, cov_pos_b, min_aligned,
-            # want_blocks
-            C.c_int32,
-            C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int32,
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.c_int32, C.c_int32,
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
-            C.c_int64, C.c_int64,
-            C.POINTER(_Cols), C.POINTER(C.c_int32), C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64),
-        ]
-        lib.svt_build_fineidx.restype = C.c_long
-        lib.svt_build_fineidx.argtypes = [
-            C.c_void_p, C.c_uint64, C.c_int32, C.c_int32,
-            C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
-        ]
-        lib.svt_fetch_chunk.restype = C.c_long
-        lib.svt_fetch_chunk.argtypes = [
-            C.c_void_p, C.c_int64,
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64),
-            C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
-            C.POINTER(C.c_int32),
-            C.c_int32,
-            C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int32,
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.c_int32, C.c_int64, C.c_int32,
-            # compact predicate tables (NULL → flags not computed)
-            C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
-            C.POINTER(C.c_int64), C.POINTER(C.c_int64),
-            C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64),
-        ]
-        lib.svt_chunk_export.restype = C.c_long
-        lib.svt_chunk_export.argtypes = [
-            C.c_void_p,
-            C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
-            C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.POINTER(C.c_uint8),
-            C.c_int64,
-        ]
-        lib.svt_chunk_export_compact.restype = C.c_long
-        lib.svt_chunk_export_compact.argtypes = [
-            C.c_void_p,
-            C.POINTER(C.c_uint16), C.POINTER(C.c_uint8), C.c_int64,
-            C.POINTER(C.c_uint16), C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
-            C.c_int64,
-        ]
-        lib.svt_decode.restype = C.c_long
-        lib.svt_decode.argtypes = [
-            C.c_void_p,
-            C.c_uint64, C.c_uint64, C.c_int64,
-            C.c_int32, C.c_int64, C.c_int64,
-            C.c_int32,
-            C.POINTER(C.c_char_p), C.c_int32,
-            C.POINTER(C.c_char_p), C.c_int32,
-            C.c_int64, C.c_int64,
-            C.POINTER(_Cols),
-            C.POINTER(C.c_uint64),
-            C.POINTER(C.c_int64),
-            C.POINTER(C.c_int64),
-        ]
-        lib.svt_perf.restype = None
-        lib.svt_perf.argtypes = [C.POINTER(C.c_int64)]
+    """Bind post-v1 entry points ONE SYMBOL AT A TIME: a stale .so
+    missing some symbols keeps every present symbol fully bound
+    (restype + argtypes), so hasattr-guarded callers never call a
+    present-but-unbound function with default C conversions
+    (review finding, r4)."""
+    try:
+            lib.svt_set_names.restype = None
+            lib.svt_set_names.argtypes = [
+                C.c_void_p,
+                C.POINTER(C.c_char_p), C.c_int32,
+                C.POINTER(C.c_char_p), C.c_int32,
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_fetch_many.restype = C.c_long
+            lib.svt_fetch_many.argtypes = [
+                C.c_void_p,
+                C.c_int64,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64),
+                C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
+                # filter block: drop_flags, rg_keep, rg_to_lib, n_rg_tab,
+                # cov_tid_a, cov_pos_a, cov_tid_b, cov_pos_b, min_aligned,
+                # want_blocks
+                C.c_int32,
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int32,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.c_int32, C.c_int32,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
+                C.c_int64, C.c_int64,
+                C.POINTER(_Cols), C.POINTER(C.c_int32), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64),
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_build_fineidx.restype = C.c_long
+            lib.svt_build_fineidx.argtypes = [
+                C.c_void_p, C.c_uint64, C.c_int32, C.c_int32,
+                C.POINTER(C.c_int64), C.POINTER(C.c_uint64),
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_fetch_chunk.restype = C.c_long
+            lib.svt_fetch_chunk.argtypes = [
+                C.c_void_p, C.c_int64,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64),
+                C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
+                C.POINTER(C.c_int32),
+                C.c_int32,
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int32), C.c_int32,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.c_int32, C.c_int64, C.c_int32,
+                # compact predicate tables (NULL → flags not computed)
+                C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64),
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_chunk_export.restype = C.c_long
+            lib.svt_chunk_export.argtypes = [
+                C.c_void_p,
+                C.POINTER(C.c_int32), C.POINTER(C.c_uint8), C.c_int64,
+                C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.POINTER(C.c_uint8),
+                C.c_int64,
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_chunk_export_compact.restype = C.c_long
+            lib.svt_chunk_export_compact.argtypes = [
+                C.c_void_p,
+                C.POINTER(C.c_uint16), C.POINTER(C.c_uint8), C.c_int64,
+                C.POINTER(C.c_uint16), C.POINTER(C.c_int32), C.POINTER(C.c_uint8),
+                C.c_int64,
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_decode.restype = C.c_long
+            lib.svt_decode.argtypes = [
+                C.c_void_p,
+                C.c_uint64, C.c_uint64, C.c_int64,
+                C.c_int32, C.c_int64, C.c_int64,
+                C.c_int32,
+                C.POINTER(C.c_char_p), C.c_int32,
+                C.POINTER(C.c_char_p), C.c_int32,
+                C.c_int64, C.c_int64,
+                C.POINTER(_Cols),
+                C.POINTER(C.c_uint64),
+                C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64),
+            ]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_perf.restype = None
+            lib.svt_perf.argtypes = [C.POINTER(C.c_int64)]
+    except AttributeError:
+        pass
 
 
 def perf_counters() -> dict:
@@ -373,11 +398,24 @@ class NativeBam:
         self._n_rg = len(rg_names)
         lib.svt_set_names(self._h, self._refs, self._n_ref, self._rgs,
                           self._n_rg)
-        # persistent grow-only buffer sets; one per decode thread slot
-        self._bufsets: List[_BufSet] = [_BufSet()]
+        # persistent grow-only buffer sets, one list per CALLING
+        # thread (threading.local): transient fetch_many batches alias
+        # these buffers, and the streaming CLI runs evidence collection
+        # (-w, main thread) concurrently with chunk prep (prep thread)
+        # on the same handle — per-thread slots make that safe with no
+        # locking (review finding, r4). Within one call, threads>1
+        # fans out over slots of the calling thread's own list.
+        self._tls = threading.local()
         # diagnostic: total records touched by fetch_many (the scanned vs
         # emitted ratio exposes BAI linear-index skip overhead)
         self.scanned = 0
+
+    @property
+    def _bufsets(self) -> List[_BufSet]:
+        bs = getattr(self._tls, "bufsets", None)
+        if bs is None:
+            bs = self._tls.bufsets = [_BufSet()]
+        return bs
 
     # back-compat shims for the single-threaded decode path
     @property
@@ -561,8 +599,9 @@ class NativeBam:
                 self._bufsets[0], rt, rs, re_, ro, rb, rn, cap_hint, filt,
                 copy=not transient,
             )
-        while len(self._bufsets) < threads:
-            self._bufsets.append(_BufSet())
+        bufsets = self._bufsets  # the CALLING thread's slot list
+        while len(bufsets) < threads:
+            bufsets.append(_BufSet())
         # contiguous query partitions balanced by range count
         bounds = [0]
         total = int(ro[-1])
@@ -578,7 +617,7 @@ class NativeBam:
                 return ReadBatch(0), np.zeros(0, dtype=np.int32)
             r0, r1 = int(ro[q0]), int(ro[q1])
             batch, qid = self._fetch_slice(
-                self._bufsets[t],
+                bufsets[t],
                 rt[q0:q1], rs[q0:q1], re_[q0:q1],
                 np.ascontiguousarray(ro[q0 : q1 + 1] - ro[q0]),
                 rb[r0:r1], rn[r0:r1],

@@ -51,14 +51,22 @@ def _scan_cg(buf: bytes, off: int, end: int) -> Optional[List[Tuple[int, int]]]:
             nul = buf.index(0, off, end)
             off = nul + 1
         elif typ == ord("B"):
+            if off + 5 > end:
+                return None
             sub = buf[off]
             cnt = struct.unpack_from("<I", buf, off + 1)[0]
+            # bounds + subtype guards mirror the C++ cg_long_cigar: a
+            # corrupt count falls back to the placeholder cigar instead
+            # of crashing (and keeps the two decoders in agreement)
+            esz = _TAG_SIZES.get(sub, 4)
+            if off + 5 + cnt * esz > end:
+                return None
             if tag == b"CG" and sub == ord("I"):
                 vals = struct.unpack_from("<%dI" % cnt, buf, off + 5)
                 return [(v & 0xF, v >> 4) for v in vals]
-            off += 5 + cnt * _TAG_SIZES[sub]
+            off += 5 + cnt * esz
         else:
-            off += _TAG_SIZES[typ]
+            off += _TAG_SIZES.get(typ, 0) or (end - off)
     return None
 
 

@@ -245,6 +245,10 @@ def sv_genotype(
                     "num_shards": num_shards,
                     "shard_index": shard_index,
                     "n_procs": n_procs,
+                    # engines are byte-identical on the f64 parity
+                    # config but may differ at format-rounding
+                    # boundaries in f32 — never mix their chunks
+                    "engine": engine_kind,
                     "lib_stats_sha256": lib_sha,
                 },
             ),
@@ -368,6 +372,14 @@ def sv_genotype(
                 for j in range(len(bps_chunk))
             ]
 
+        # flush()'s checkpoint replay skips run_chunk for a finished
+        # chunk; the row cursor must still advance past that chunk's
+        # rows or every later variant reads an earlier variant's row
+        # (review finding, r4 — silent wrong-output class)
+        run_chunk.skip_rows = lambda n, _c=_cursor: _c.__setitem__(
+            0, _c[0] + n
+        )
+
     if shard_index == 0:
         # shards >0 emit body-only so that `cat shard0 shard1 ...` is
         # byte-identical to the single-process output
@@ -472,6 +484,11 @@ def sv_genotype(
                 with open(part) as fh:
                     for line in fh:
                         vcf_out.write(line)
+                # phase-2 multihost replay: the gathered-row cursor must
+                # advance past the replayed chunk's rows
+                skip = getattr(run_chunk, "skip_rows", None)
+                if skip is not None:
+                    skip(len(pending))
                 n_done += len(pending)
                 pending.clear()
                 crash.chunk_done()

@@ -188,3 +188,28 @@ def test_multihost_crash_resume(paths, tmp_path):
     for p, m in mtimes.items():
         # spilled chunks were REPLAYED, not recomputed
         assert os.path.getmtime(os.path.join(ck, p)) == m, p
+
+
+def test_multihost_partial_part_replay(paths, tmp_path):
+    """Phase-2 (host-0 formatting) replay with SOME part files missing:
+    the gathered-row cursor must advance past replayed chunks, or every
+    later variant silently reads an earlier variant's row (r4 review
+    finding)."""
+    d, bam, vcf = paths
+    single = str(tmp_path / "single.vcf")
+    _run(["-i", vcf, "-B", bam, "-o", single, "-n", "20000"])
+
+    ck = str(tmp_path / "ck_pp")
+    outs1 = [str(tmp_path / ("full_%d.vcf" % i)) for i in range(2)]
+    rcs, errs = _run_pair(bam, vcf, outs1, ck)
+    assert rcs == [0, 0], errs
+    assert open(outs1[0]).read() == open(single).read()
+    parts = sorted(p for p in os.listdir(ck) if p.endswith(".vcfpart"))
+    assert len(parts) >= 3, parts
+    # delete a MIDDLE formatted part: chunk 0 replays (cursor must
+    # skip), chunk 1 recomputes from gathered rows, rest replay
+    os.unlink(os.path.join(ck, parts[1]))
+    outs2 = [str(tmp_path / ("partial_%d.vcf" % i)) for i in range(2)]
+    rcs, errs = _run_pair(bam, vcf, outs2, ck)
+    assert rcs == [0, 0], errs
+    assert open(outs2[0]).read() == open(single).read()
