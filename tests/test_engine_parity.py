@@ -132,3 +132,20 @@ def test_chunking_consistency(setup):
     r2 = e2.genotype_all(bps)
     for a, b in zip(r1, r2):
         assert _fmt_row(a[0]) == _fmt_row(b[0])
+
+
+def test_genotype_stream_early_abort(setup):
+    """Abandoning the stream mid-flight must shut the pipeline down
+    cleanly (no hung prep/collect threads) and leave the engine usable."""
+    sample, variants, bps = setup
+    engine = TpuEngine([sample], chunk_size=4)
+    # the virtual mesh rounds chunk_size up to a device multiple
+    stream = engine.genotype_stream(iter(bps * 6))
+    first = next(stream)
+    assert len(first) == engine.chunk_size
+    stream.close()
+    res = engine.genotype_chunk(bps[:4])
+    assert len(res) == 4
+    # a fresh stream over the same engine still works end to end
+    total = sum(len(c) for c in engine.genotype_stream(iter(bps)))
+    assert total == len(bps)
