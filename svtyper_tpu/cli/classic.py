@@ -560,6 +560,22 @@ def sv_genotype(
             for chunk_rows in engine.genotype_stream(bp_feed())
             for row in chunk_rows
         )
+        # a wedged accelerator tunnel can hold the FIRST program
+        # load/compile for minutes; tell the user the run is alive
+        import threading
+
+        first_done = threading.Event()
+
+        def _watch():
+            if not first_done.wait(90):
+                sys.stderr.write(
+                    "note: still waiting on the first device chunk "
+                    "(>90s) — typically one-time program load/compile "
+                    "on the accelerator; the run proceeds once the "
+                    "device responds\n"
+                )
+
+        threading.Thread(target=_watch, daemon=True).start()
         for vars_, bps, run_bps, part, replay in plans_fmt:
             if replay:
                 with open(part) as fh:
@@ -569,6 +585,7 @@ def sv_genotype(
                 crash.chunk_done()
                 continue
             rows = [next(flat) for _ in range(len(vars_))]
+            first_done.set()
             emit_chunk(vars_, bps, rows, part)
     else:
         for line in body:
