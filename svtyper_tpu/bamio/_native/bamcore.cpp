@@ -66,6 +66,11 @@ struct ChunkBuf {
   std::vector<uint8_t> c_rflags;
   std::vector<int32_t> p_ospan;
   std::vector<uint8_t> p_flags, p_libu8;
+  // -w evidence export (svt_set_evidence): EVERY kept row's location,
+  // recorded pre-candidate-selection and pre-max_reads truncation so
+  // the written read set matches the per-variant oracle gather
+  std::vector<int32_t> e_tid, e_pos, e_end, e_flag;
+  std::vector<uint64_t> e_vo;
 
   void clear() {
     c_var.clear(); c_tid.clear(); c_pos.clear(); c_end.clear();
@@ -80,6 +85,8 @@ struct ChunkBuf {
     p_arev.clear(); p_brev.clear(); p_amapq.clear(); p_bmapq.clear();
     c_rflags.clear();
     p_ospan.clear(); p_flags.clear(); p_libu8.clear();
+    e_tid.clear(); e_pos.clear(); e_end.clear(); e_flag.clear();
+    e_vo.clear();
   }
   void truncate_cands(size_t n) {
     c_var.resize(n); c_tid.resize(n); c_pos.resize(n); c_end.resize(n);
@@ -230,6 +237,7 @@ struct SvtBam {
   // svt_fetch_chunk → svt_chunk_export arena (grow-only per thread slot;
   // one in-flight chunk per handle, like the Python-side _BufSet model)
   std::vector<ChunkBuf> chunk_bufs;
+  int32_t want_evidence = 0;  // svt_set_evidence: record kept-row rows
   BlockCache bcache;
 
   const uint8_t* data() const { return map; }
@@ -1365,6 +1373,7 @@ struct ChunkTask {
   const int32_t* v_i32;
   const uint8_t* v_u8;
   int64_t v_stride;
+  bool want_evidence;
 };
 
 // Decode the queries of [q_begin, q_end) — whole variants only — into
@@ -1625,6 +1634,13 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
             if (!ins) continue;  // read spans both windows: keep first
           }
           rows_kept++;
+          if (T->want_evidence) {
+            cb->e_tid.push_back(tid);
+            cb->e_pos.push_back(pos);
+            cb->e_end.push_back(ref_end);
+            cb->e_flag.push_back((int32_t)flag);
+            cb->e_vo.push_back(vo);
+          }
           const bool rev = (flag & 0x10) != 0;
           const uint8_t cova =
               do_cov && tid == ca_tid && cov_acc_a == 2 * (int64_t)min_aligned;
@@ -1863,7 +1879,7 @@ long svt_fetch_chunk(void* vh,
                  range_beg, range_end_, var_of_query, drop_flags, rg_keep,
                  rg_to_lib, n_rg_tab, cov_tid_a, cov_pos_a, cov_tid_b,
                  cov_pos_b, min_aligned, max_reads, var_over, var_rows,
-                 v_i32, v_u8, v_stride};
+                 v_i32, v_u8, v_stride, h->want_evidence != 0};
   std::vector<int64_t> scans(T, 0);
   std::vector<std::string> errs(T);
   std::vector<char> oks(T, 1);
@@ -1990,6 +2006,37 @@ long svt_chunk_export_compact(void* vh, uint16_t* cr_u16, uint8_t* cr_u8,
     po += (int64_t)m;
   }
   return 0;
+}
+
+// toggle -w evidence-row recording for subsequent svt_fetch_chunk calls
+void svt_set_evidence(void* vh, int32_t on) {
+  static_cast<SvtBam*>(vh)->want_evidence = on;
+}
+
+// rows recorded by the last evidence-mode svt_fetch_chunk
+long svt_chunk_evidence_count(void* vh) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  int64_t n = 0;
+  for (auto& cb : h->chunk_bufs) n += (int64_t)cb.e_vo.size();
+  return (long)n;
+}
+
+// copy them out (arrays sized >= svt_chunk_evidence_count)
+long svt_chunk_export_evidence(void* vh, int32_t* tid, int32_t* pos,
+                               int32_t* end, int32_t* flag, uint64_t* vo) {
+  SvtBam* h = static_cast<SvtBam*>(vh);
+  int64_t o = 0;
+  for (auto& cb : h->chunk_bufs) {
+    const size_t n = cb.e_vo.size();
+    if (!n) continue;
+    memcpy(tid + o, cb.e_tid.data(), n * 4);
+    memcpy(pos + o, cb.e_pos.data(), n * 4);
+    memcpy(end + o, cb.e_end.data(), n * 4);
+    memcpy(flag + o, cb.e_flag.data(), n * 4);
+    memcpy(vo + o, cb.e_vo.data(), n * 8);
+    o += (int64_t)n;
+  }
+  return (long)o;
 }
 
 // cache ref/rg name tables on the handle so fetch_many needn't take them

@@ -522,6 +522,22 @@ class BamFile:
         )
         return n_cand, n_pair, var_over, var_rows, export
 
+    def set_evidence_export(self, on: bool) -> bool:
+        """Toggle -w evidence-row recording in the native chunk fetch
+        (cli/write_alignment.py); returns False when unsupported (pure
+        Python, stale .so) so callers fall back to a batched re-fetch."""
+        native = self._get_native()
+        if native is None or not hasattr(
+            native._lib, "svt_chunk_export_evidence"
+        ):
+            return False
+        native.set_evidence(bool(on))
+        return True
+
+    def chunk_evidence(self):
+        native = self._get_native()
+        return native.chunk_evidence() if native is not None else None
+
     def scan(
         self,
         voffset: Optional[int] = None,

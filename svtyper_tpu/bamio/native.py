@@ -245,6 +245,26 @@ def _bind_extended(lib) -> None:
     except AttributeError:
         pass
     try:
+            lib.svt_set_evidence.restype = None
+            lib.svt_set_evidence.argtypes = [C.c_void_p, C.c_int32]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_chunk_evidence_count.restype = C.c_long
+            lib.svt_chunk_evidence_count.argtypes = [C.c_void_p]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_chunk_export_evidence.restype = C.c_long
+            lib.svt_chunk_export_evidence.argtypes = [
+                C.c_void_p,
+                C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+                C.POINTER(C.c_int32), C.POINTER(C.c_int32),
+                C.POINTER(C.c_uint64),
+            ]
+    except AttributeError:
+        pass
+    try:
             lib.svt_perf.restype = None
             lib.svt_perf.argtypes = [C.POINTER(C.c_int64)]
     except AttributeError:
@@ -777,6 +797,34 @@ class NativeBam:
                 self._lib.svt_error(self._h).decode()
                 or "chunk_export_compact error"
             )
+
+    def set_evidence(self, on: bool) -> None:
+        """Record every kept row's (tid,pos,end,flag,voffset) during
+        subsequent fetch_chunk calls (the -w evidence export)."""
+        if hasattr(self._lib, "svt_set_evidence"):
+            self._lib.svt_set_evidence(self._h, 1 if on else 0)
+
+    def chunk_evidence(self):
+        """Rows recorded by the LAST evidence-mode fetch_chunk, or
+        None when the entry points are unavailable."""
+        if not hasattr(self._lib, "svt_chunk_export_evidence"):
+            return None
+        n = int(self._lib.svt_chunk_evidence_count(self._h))
+        tid = np.empty(n, np.int32)
+        pos = np.empty(n, np.int32)
+        end = np.empty(n, np.int32)
+        flag = np.empty(n, np.int32)
+        vo = np.empty(n, np.uint64)
+        if n:
+            self._lib.svt_chunk_export_evidence(
+                self._h,
+                tid.ctypes.data_as(C.POINTER(C.c_int32)),
+                pos.ctypes.data_as(C.POINTER(C.c_int32)),
+                end.ctypes.data_as(C.POINTER(C.c_int32)),
+                flag.ctypes.data_as(C.POINTER(C.c_int32)),
+                vo.ctypes.data_as(C.POINTER(C.c_uint64)),
+            )
+        return tid, pos, end, flag, vo
 
     def build_fineidx(
         self, body_voffset: int, g_shift: int, ref_lens: List[int]

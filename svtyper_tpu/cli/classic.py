@@ -386,10 +386,25 @@ def sv_genotype(
         vcf_out.write(vcf.get_header())
 
     writer_bams = None
+    evidence_streamed = False
     if alignment_outpath:
         from svtyper_tpu.cli.write_alignment import EvidenceWriter
 
         writer_bams = EvidenceWriter(alignment_outpath, samples)
+        # engine-export fast path: the native chunk fetch records every
+        # kept row's location during genotyping prep, so -w costs no
+        # second decode pass (falls back to the batched re-fetch when
+        # any sample lacks native support — CRAM, pure-Python)
+        # (chunk_size == batch_size keeps the writer's per-chunk flag
+        # FIFO aligned with the CLI's chunk plans — the sharded engine
+        # rounds its chunk size up to a device multiple)
+        if engine_kind == "tpu" and n_procs == 1 and \
+                engine.chunk_size == batch_size and all(
+            getattr(s.bam, "set_evidence_export", lambda v: False)(True)
+            for s in samples
+        ):
+            engine.evidence_sink = writer_bams.push_native
+            evidence_streamed = True
 
     n_done = 0
     chunk_idx = 0
@@ -451,9 +466,16 @@ def sv_genotype(
                     )
             out_lines.append(v.get_var_string() + "\n")
         if writer_bams is not None:
-            # one batched fetch per chunk (rides the block cache the
-            # genotyping pass just warmed) — not per variant
-            writer_bams.add_batch(bps)
+            if evidence_streamed:
+                wide = [
+                    bp for bp in bps
+                    if bp is not None and bp.ci_width() > max_ci_dist
+                ]
+                writer_bams.finish_chunk(bps, wide)
+            else:
+                # one batched fetch per chunk (rides the block cache
+                # the genotyping pass just warmed) — not per variant
+                writer_bams.add_batch(bps)
         vcf_out.writelines(out_lines)
         if part is not None:
             tmp = part + ".tmp"

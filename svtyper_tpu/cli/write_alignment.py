@@ -18,6 +18,8 @@ deterministic regardless of collection path.
 
 from __future__ import annotations
 
+import threading
+from collections import deque
 from typing import List, Optional
 
 import numpy as np
@@ -39,6 +41,12 @@ class EvidenceWriter:
         # (dedup by voffset happens once, at close)
         self._arrs: List[List[np.ndarray]] = [[] for _ in samples]
         self._filts: List[Optional[FetchFilter]] = [None] * len(samples)
+        # engine-export FIFO (push_native/finish_chunk): one bool per
+        # chunk — did EVERY sample's prep deliver native evidence rows?
+        self._native_flags: deque = deque()
+        self._push_lock = threading.Lock()
+        self._chunk_pushes = 0
+        self._chunk_ok = True
 
     def _filt(self, si: int) -> FetchFilter:
         f = self._filts[si]
@@ -80,6 +88,47 @@ class EvidenceWriter:
     # Back-compat single-variant form (oracle-path callers/tests).
     def add(self, bp: Breakpoint) -> None:
         self.add_batch([bp])
+
+    # ---- engine-export fast path (r4): the native chunk fetch already
+    # touches every kept row, so the engine streams (tid, pos, end,
+    # flag, voffset) straight from its decode arena — no second fetch.
+    def push_native(self, si: int, ev) -> None:
+        """Engine sink: one call per (chunk, sample) from the prep
+        thread(s). ``ev`` is the chunk_evidence() tuple or None when
+        that sample's prep took a non-native path (the whole chunk then
+        falls back to add_batch at finish_chunk; duplicate rows are
+        harmless — close() dedups by voffset)."""
+        with self._push_lock:
+            if ev is None:
+                self._chunk_ok = False
+            else:
+                tid, pos, end, flag, vo = ev
+                if len(vo):
+                    m = np.empty((len(vo), 5), dtype=np.int64)
+                    m[:, 0] = tid
+                    m[:, 1] = pos
+                    m[:, 2] = end
+                    m[:, 3] = flag
+                    m[:, 4] = vo.astype(np.int64)
+                    self._arrs[si].append(m)
+            self._chunk_pushes += 1
+            if self._chunk_pushes == len(self.samples):
+                self._native_flags.append(self._chunk_ok)
+                self._chunk_pushes = 0
+                self._chunk_ok = True
+
+    def finish_chunk(self, bps, wide_bps) -> None:
+        """Emission-side companion of push_native (FIFO-aligned with
+        chunk order): re-fetch only what the engine's prep never
+        touched — the whole chunk if any sample fell back, else just
+        the wide-CI (force-null) variants whose windows the prep
+        skips."""
+        with self._push_lock:
+            ok = self._native_flags.popleft() if self._native_flags else False
+        if not ok:
+            self.add_batch(bps)
+        elif wide_bps:
+            self.add_batch(wide_bps)
 
     def close(self) -> None:
         header = self.samples[0].bam.header

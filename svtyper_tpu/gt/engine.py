@@ -133,6 +133,11 @@ class TpuEngine:
         self._hw_reads = 0
         self._hw_pairs = 0
         self._sample_pool = None  # lazy; multi-sample prep fan-out
+        # -w evidence export: when set, called as sink(sample_idx, ev)
+        # once per (chunk, sample) from the prep thread(s); ev is the
+        # native chunk_evidence() tuple, or None when this chunk's prep
+        # used a non-native path (caller falls back to a re-fetch)
+        self.evidence_sink = None
         self._prep_workers = prep_workers  # None = env/auto
         # per-stage wall-time observability (SURVEY.md §5)
         self.stats = {
@@ -337,11 +342,12 @@ class TpuEngine:
         if len(self.samples) > 1:
             outs = list(
                 self._get_sample_pool().map(
-                    lambda s: prep_one(s, bps), self.samples
+                    lambda t: prep_one(t[1], bps, t[0]),
+                    enumerate(self.samples),
                 )
             )
         else:
-            outs = [prep_one(self.samples[0], bps)]
+            outs = [prep_one(self.samples[0], bps, 0)]
         payloads = []
         for entry, n_ev, n_pair, r_w, p_w in outs:
             self._hw_reads = max(self._hw_reads, r_w)
@@ -354,7 +360,7 @@ class TpuEngine:
         self.stats["variants"] += n_real
         return payloads
 
-    def _prepare_sample(self, sample: Sample, bps):
+    def _prepare_sample(self, sample: Sample, bps, si: int = 0):
         """Stateless single-sample prep body → ``(payload_entry, n_ev,
         n_pair, r_width, p_width)``; the caller owns high-water /stats
         updates (keeps this safe to run concurrently per sample)."""
@@ -369,10 +375,16 @@ class TpuEngine:
         )
         if res is not None:
             compact, n_var, n_ev, n_pair = res
+            if self.evidence_sink is not None:
+                # pull the arena's kept-row records BEFORE the next
+                # fetch on this handle overwrites them
+                self.evidence_sink(si, sample.bam.chunk_evidence())
             return (
                 (("compact", compact), n_var), n_ev, n_pair,
                 compact["cr_u16"].shape[1], compact["cp_u16"].shape[1],
             )
+        if self.evidence_sink is not None:
+            self.evidence_sink(si, None)  # non-native prep: re-fetch
         chunk = prepare_chunk(
             sample,
             bps,
@@ -427,7 +439,7 @@ class TpuEngine:
             )
         return self._sample_pool
 
-    def _prepare_sharded(self, sample: Sample, bps):
+    def _prepare_sharded(self, sample: Sample, bps, si: int = 0):
         """Multi-chip prep: split the chunk's variants into ``n_dev``
         contiguous shards with identical pad geometry and stack them
         into rectangular [D, ...] arrays. Stateless like
@@ -437,6 +449,7 @@ class TpuEngine:
         n_shard = self.chunk_size // self.n_dev
         shards = []
         ev_total = pair_total = 0
+        ev_rows = [] if self.evidence_sink is not None else None
         widths = []
         for d in range(self.n_dev):
             shard_bps = bps[d * n_shard : (d + 1) * n_shard]
@@ -451,6 +464,8 @@ class TpuEngine:
             )
             if res is not None:
                 compact, n_var, n_ev, n_pair = res
+                if ev_rows is not None:
+                    ev_rows.append(sample.bam.chunk_evidence())
                 shards.append((compact, n_var))
                 widths.append(
                     (compact["cr_u16"].shape[1], compact["cp_u16"].shape[1])
@@ -467,6 +482,8 @@ class TpuEngine:
                 pad_reads=self._hw_reads,
                 pad_pairs=self._hw_pairs,
             )
+            if ev_rows is not None:
+                ev_rows = None  # non-native shard: whole chunk re-fetches
             shards.append(chunk)
             widths.append(
                 (len(chunk.reads["var"]), len(chunk.pairs["var"]))
@@ -479,6 +496,17 @@ class TpuEngine:
             )
         r_pad = max(w[0] for w in widths)
         f_pad = max(w[1] for w in widths)
+        if self.evidence_sink is not None:
+            if ev_rows is not None and all(e is not None for e in ev_rows):
+                self.evidence_sink(
+                    si,
+                    tuple(
+                        np.concatenate([e[k] for e in ev_rows])
+                        for k in range(5)
+                    ),
+                )
+            else:
+                self.evidence_sink(si, None)
         # compact + stack happens in _send (same overlap rationale as
         # the single-device path)
         return (
