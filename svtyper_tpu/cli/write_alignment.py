@@ -158,19 +158,30 @@ class EvidenceWriter:
             allrows = np.zeros((0, 6), dtype=np.int64)
         # bounded-memory segments: per segment, pull raw bytes with one
         # block-sliced raw_records call per sample (coordinate order →
-        # blocks/containers decode once) and emit with the bulk writer
-        seg = 1 << 18
-        for lo in range(0, len(allrows), seg):
-            rows = allrows[lo : lo + seg]
-            raws: List[Optional[bytes]] = [None] * len(rows)
-            for si in np.unique(rows[:, 5]):
-                idx = np.flatnonzero(rows[:, 5] == si)
-                got = self.samples[int(si)].bam.raw_records(
-                    [int(v) for v in rows[idx, 4]]
+        # blocks/containers decode once) and emit with the bulk writer.
+        # Extraction (main thread) overlaps the previous segment's
+        # encode+deflate (worker thread — zlib drops the GIL).
+        from concurrent.futures import ThreadPoolExecutor
+
+        seg = 1 << 17
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = None
+            for lo in range(0, len(allrows), seg):
+                rows = allrows[lo : lo + seg]
+                raws: List[Optional[bytes]] = [None] * len(rows)
+                for si in np.unique(rows[:, 5]):
+                    idx = np.flatnonzero(rows[:, 5] == si)
+                    got = self.samples[int(si)].bam.raw_records(
+                        [int(v) for v in rows[idx, 4]]
+                    )
+                    for j, r in zip(idx, got):
+                        raws[j] = r
+                if pending is not None:
+                    pending.result()
+                pending = pool.submit(
+                    w.write_records_bulk,
+                    raws, rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3],
                 )
-                for j, r in zip(idx, got):
-                    raws[j] = r
-            w.write_records_bulk(
-                raws, rows[:, 0], rows[:, 1], rows[:, 2], rows[:, 3]
-            )
+            if pending is not None:
+                pending.result()
         w.close()
