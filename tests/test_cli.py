@@ -201,3 +201,67 @@ def test_bnd_mate_pair_shares_genotype(paths):
     # mate record copies the pair's genotype row (SPEC.md §2)
     assert body[0][9] == body[1][9]
     assert body[0][9].split(":")[0] == "0/1"  # the DEL event at 1M is het
+
+
+def test_write_alignment_wide_ci_and_bnd(tmp_path):
+    """-w through the engine-export path must still include reads of
+    wide-CI (force-null) variants — whose windows genotyping prep
+    skips — and of both records of a BND pair (the second is
+    genotype-skipped). Expected set = per-variant oracle gather over
+    EVERY record's breakpoint."""
+    import numpy as np
+
+    from svtyper_tpu.breakpoints import resolve_breakpoint
+    from svtyper_tpu.oracle.engine import gather_reads
+    from svtyper_tpu.simulate import Event, SimConfig, events_to_vcf, simulate_events
+    from svtyper_tpu.stats import Sample
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+    from svtyper_tpu.vcfio.reader import read_vcf_lines
+
+    refs = [("chr1", 6_000_000), ("chr2", 2_000_000)]
+    events = [
+        Event("DEL", "chr1", 1_000_000, 1_003_000, "0/1", var_id="d1"),
+        Event("BND", "chr1", 2_000_000, 700_000, "0/1", chrom2="chr2",
+              var_id="b1"),
+        Event("DEL", "chr1", 3_000_000, 3_002_000, "0/1", var_id="wide"),
+        Event("DUP", "chr1", 4_000_000, 4_003_000, "1/1", var_id="d2"),
+    ]
+    bam = str(tmp_path / "w.bam")
+    simulate_events(bam, refs, events, SimConfig(depth=25), seed=7,
+                    extra_background=800)
+    vcf_path = str(tmp_path / "w.vcf")
+    body_lines = events_to_vcf(events, refs).splitlines(keepends=True)
+    with open(vcf_path, "w") as fh:
+        for ln in body_lines:
+            if not ln.startswith("#") and "\twide\t" in ln:
+                # widen this record's CI beyond --max_ci_dist → null GT
+                ln = ln.replace("CIPOS=0,0;CIEND=0,0",
+                                "CIPOS=-1500,1500;CIEND=-1500,1500")
+            fh.write(ln)
+    out = str(tmp_path / "o.vcf")
+    wbam = str(tmp_path / "ev.bam")
+    _run(["-i", vcf_path, "-B", bam, "-o", out, "-n", "30000",
+          "--max_ci_dist", "1000", "-w", wbam])
+    body = [l for l in open(out) if not l.startswith("#")]
+    gts = {l.split("\t")[2]: l.rstrip("\n").split("\t")[9].split(":")[0]
+           for l in body}
+    assert gts["wide"] == "./."  # the CI gate actually fired
+
+    sample = Sample.from_bam(BamFile(bam), num_samp=30_000)
+    vcf = Vcf()
+    with open(vcf_path) as fh:
+        header, vbody = read_vcf_lines(fh)
+        vbody = list(vbody)
+    vcf.add_header(header)
+    want = set()
+    for line in vbody:
+        bp = resolve_breakpoint(Variant(line, vcf))
+        if bp is None:
+            continue
+        batch, _ = gather_reads(sample, bp)
+        want.update(int(v) for v in batch.voffset)
+    got_n = 0
+    eb = BamFile(wbam)
+    for chrom, ln in refs:
+        got_n += eb.fetch(chrom, 0, ln).n
+    assert got_n == len(want), (got_n, len(want))
