@@ -617,6 +617,8 @@ def sv_genotype(
         flush()
     if writer_bams is not None:
         writer_bams.close()
+    if hasattr(engine, "close"):
+        engine.close()  # release the multi-sample prep pool promptly
     if verbose and hasattr(engine, "stats"):
         st = engine.stats
         dt = time.time() - t_gt
