@@ -50,34 +50,46 @@ def build_fixture():
     tag = "v3_n%d_d%g" % (N_VARIANTS, DEPTH)
     bam = os.path.join(CACHE, "bench_%s.bam" % tag)
     vcf = os.path.join(CACHE, "bench_%s.vcf" % tag)
-    if os.path.exists(bam) and os.path.exists(bam + ".bai") and os.path.exists(vcf):
-        return bam, vcf
-    rng = np.random.default_rng(42)
-    types = ["DEL", "DEL", "DEL", "DUP", "INV"]  # DEL-heavy like LUMPY output
-    gts = ["0/0", "0/1", "0/1", "1/1"]
-    spacing = 20_000
-    n_chrom = max(1, (N_VARIANTS * spacing) // 40_000_000 + 1)
-    per_chrom = (N_VARIANTS + n_chrom - 1) // n_chrom
-    refs = [("chr%d" % (c + 1), per_chrom * spacing + 100_000)
-            for c in range(n_chrom)]
-    events = []
-    for i in range(N_VARIANTS):
-        c = i // per_chrom
-        j = i % per_chrom
-        pos = 30_000 + j * spacing
-        svlen = int(rng.integers(300, 6000))
-        events.append(
-            Event(
-                types[i % len(types)], refs[c][0], pos, pos + svlen,
-                gts[int(rng.integers(0, len(gts)))],
-                var_id="v%d" % i,
+
+    def gen_events():
+        rng = np.random.default_rng(42)
+        types = ["DEL", "DEL", "DEL", "DUP", "INV"]  # DEL-heavy, LUMPY-like
+        gts = ["0/0", "0/1", "0/1", "1/1"]
+        spacing = 20_000
+        n_chrom = max(1, (N_VARIANTS * spacing) // 40_000_000 + 1)
+        per_chrom = (N_VARIANTS + n_chrom - 1) // n_chrom
+        refs = [("chr%d" % (c + 1), per_chrom * spacing + 100_000)
+                for c in range(n_chrom)]
+        events = []
+        for i in range(N_VARIANTS):
+            c = i // per_chrom
+            j = i % per_chrom
+            pos = 30_000 + j * spacing
+            svlen = int(rng.integers(300, 6000))
+            events.append(
+                Event(
+                    types[i % len(types)], refs[c][0], pos, pos + svlen,
+                    gts[int(rng.integers(0, len(gts)))],
+                    var_id="v%d" % i,
+                )
             )
-        )
+        return refs, events
+
+    if os.path.exists(bam) and os.path.exists(bam + ".bai") and os.path.exists(vcf):
+        if not os.path.exists(vcf + ".truth.json"):
+            # deterministic regeneration backfills older cached fixtures
+            _, events = gen_events()
+            with open(vcf + ".truth.json", "w") as fh:
+                json.dump({e.var_id: e.gt for e in events}, fh)
+        return bam, vcf
+    refs, events = gen_events()
     cfg = SimConfig(depth=DEPTH)
     t0 = time.time()
     simulate_events(bam, refs, events, cfg, seed=42, extra_background=5000)
     with open(vcf, "w") as fh:
         fh.write(events_to_vcf(events, refs))
+    with open(vcf + ".truth.json", "w") as fh:
+        json.dump({e.var_id: e.gt for e in events}, fh)
     sys.stderr.write("fixture built in %.1fs (%s)\n" % (time.time() - t0, bam))
     return bam, vcf
 
@@ -233,6 +245,15 @@ def _measure():
     for k in engine.stats:
         engine.stats[k] = 0
 
+    # GT concordance vs the simulator's truth on the warmup chunk's
+    # results + a full warm pass below (accuracy guard: a perf change
+    # that silently breaks calls should show here, not just in CI)
+    truth = {}
+    tpath = vcf_path + ".truth.json"
+    if os.path.exists(tpath):
+        with open(tpath) as fh:
+            truth = json.load(fh)
+
     cold_bps = bps[warm_n:]
     if not cold_bps:
         sys.stderr.write(
@@ -257,7 +278,7 @@ def _measure():
     for k in engine.stats:
         engine.stats[k] = 0
     t0 = time.time()
-    engine.genotype_all(bps)
+    warm_results = engine.genotype_all(bps)
     dt_warm = time.time() - t0
     warm_vps = len(bps) / dt_warm
     stw = engine.stats
@@ -267,6 +288,20 @@ def _measure():
         % (warm_vps, len(bps), dt_warm, stw["prep_s"], stw["send_s"],
            stw["sync_s"])
     )
+
+    concordant = evaluated = 0
+    if truth:
+        for v, row in zip(variants, warm_results):
+            want = truth.get(v.var_id)
+            if want is None:
+                continue
+            evaluated += 1
+            got = row[0].gt_string if not row[0].null else "./."
+            concordant += got == want
+        sys.stderr.write(
+            "GT concordance vs simulated truth: %d/%d (%.4f)\n"
+            % (concordant, evaluated, concordant / max(evaluated, 1))
+        )
 
     print(
         json.dumps(
@@ -285,6 +320,9 @@ def _measure():
                 "chunk_size": chunk,
                 "warm_prep_s": round(stw["prep_s"], 3),
                 "warm_sync_s": round(stw["sync_s"], 3),
+                "gt_concordance": (
+                    round(concordant / evaluated, 4) if evaluated else None
+                ),
                 "cold_prep_s": round(st["prep_s"], 3),
                 "cold_send_s": round(st["send_s"], 3),
                 "cold_sync_s": round(st["sync_s"], 3),
