@@ -173,3 +173,40 @@ def test_multisample_sharded_prep_overlaps_and_matches(paths):
     assert len(res_m) == len(res_s) == len(bps)
     for rm, rs in zip(res_m, res_s):
         assert [fmt(x) for x in rm] == [fmt(x) for x in rs]
+
+
+def test_multisample_write_alignment_matches_gather(paths, tmp_path):
+    """-w with two samples (engine-export path, per-sample sink calls):
+    the evidence BAM must hold exactly the union of both samples'
+    per-variant oracle gathers."""
+    from svtyper_tpu.bamio.bam import BamFile
+    from svtyper_tpu.breakpoints import resolve_breakpoint
+    from svtyper_tpu.oracle.engine import gather_reads
+    from svtyper_tpu.stats import Sample
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+    from svtyper_tpu.vcfio.reader import read_vcf_lines
+
+    d, bam_a, bam_b, vcf_path = paths
+    out = str(tmp_path / "mw.vcf")
+    wbam = str(tmp_path / "mw_ev.bam")
+    assert classic_main(["-i", vcf_path, "-B", bam_a + "," + bam_b,
+                         "-o", out, "-n", "40000", "-w", wbam]) == 0
+
+    want = 0
+    for b in (bam_a, bam_b):
+        sample = Sample.from_bam(BamFile(b), num_samp=40_000)
+        vcf = Vcf()
+        with open(vcf_path) as fh:
+            header, body = read_vcf_lines(fh)
+            body = list(body)
+        vcf.add_header(header)
+        seen = set()
+        for line in body:
+            bp = resolve_breakpoint(Variant(line, vcf))
+            if bp is None:
+                continue
+            batch, _ = gather_reads(sample, bp)
+            seen.update(int(v) for v in batch.voffset)
+        want += len(seen)
+    got = BamFile(wbam).fetch("chr1", 0, REFS[0][1]).n
+    assert got == want, (got, want)
