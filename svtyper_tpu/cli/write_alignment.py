@@ -14,6 +14,14 @@ dragged a 100×+ engine down to oracle speed whenever ``-w`` was on.
 The gathered row SET is identical (same windows, same filter); rows
 are ordered by (tid, pos, voffset, sample) so the output is
 deterministic regardless of collection path.
+
+Memory model: the writer holds one 48-byte index row per unique
+evidence read until close() (raw record BYTES are never held — they
+are re-sliced from the source BAM segment by segment at close). A
+whole-genome-scale ``-w`` dump over millions of variants therefore
+needs RAM proportional to the unique evidence reads (~30 GB per 600M
+reads); ``-w`` is a per-region debugging surface in the reference and
+here, not a cohort-scale export.
 """
 
 from __future__ import annotations
