@@ -418,6 +418,36 @@ def sv_genotype(
     bnd_results: dict = {}
     bnd_computed: set = set()
 
+    def part_path():
+        """Per-chunk checkpoint part file; advances the chunk counter.
+        SINGLE SOURCE for part naming + counter + replay side effects —
+        the serial flush() drive and the streaming plan/emit drive both
+        go through here (a diverged copy caused the r4 phase-2 cursor
+        bug)."""
+        nonlocal chunk_idx
+        if not checkpoint_dir:
+            return None
+        path = os.path.join(
+            checkpoint_dir, "part_%06d.vcfpart" % chunk_idx
+        )
+        chunk_idx += 1
+        return path
+
+    def replay_part(path, n_vars):
+        """Emit a finished chunk's spilled lines; advance every piece
+        of per-chunk state a computed chunk would have advanced."""
+        nonlocal n_done
+        with open(path) as fh:
+            for line in fh:
+                vcf_out.write(line)
+        # phase-2 multihost replay: the gathered-row cursor must
+        # advance past the replayed chunk's rows
+        skip = getattr(run_chunk, "skip_rows", None)
+        if skip is not None:
+            skip(n_vars)
+        n_done += n_vars
+        crash.chunk_done()
+
     def plan_chunk(vars_):
         """bps + run_bps for one chunk (run order = feed order): the
         second record of an already-computed breakend event gets
@@ -492,29 +522,16 @@ def sv_genotype(
             )
 
     def flush():
-        nonlocal n_done, chunk_idx
         if not pending:
             return
         # chunk checkpoint/resume (SURVEY.md §5): a completed chunk's
         # formatted lines are spilled to a part file; a rerun with the
         # same input and batch_size replays them without re-genotyping
-        part = None
-        if checkpoint_dir:
-            part = os.path.join(checkpoint_dir, "part_%06d.vcfpart" % chunk_idx)
-            chunk_idx += 1
-            if os.path.exists(part):
-                with open(part) as fh:
-                    for line in fh:
-                        vcf_out.write(line)
-                # phase-2 multihost replay: the gathered-row cursor must
-                # advance past the replayed chunk's rows
-                skip = getattr(run_chunk, "skip_rows", None)
-                if skip is not None:
-                    skip(len(pending))
-                n_done += len(pending)
-                pending.clear()
-                crash.chunk_done()
-                return
+        part = part_path()
+        if part is not None and os.path.exists(part):
+            replay_part(part, len(pending))
+            pending.clear()
+            return
         bps, run_bps = plan_chunk(pending)
         rows = run_chunk(run_bps)
         emit_chunk(pending, bps, rows, part)
@@ -547,15 +564,9 @@ def sv_genotype(
             pend: List[Variant] = []
 
             def mk(vars_):
-                nonlocal chunk_idx
-                part = None
-                if checkpoint_dir:
-                    part = os.path.join(
-                        checkpoint_dir, "part_%06d.vcfpart" % chunk_idx
-                    )
-                    chunk_idx += 1
-                    if os.path.exists(part):
-                        return (vars_, None, None, part, True)
+                part = part_path()
+                if part is not None and os.path.exists(part):
+                    return (vars_, None, None, part, True)
                 bps, run_bps = plan_chunk(vars_)
                 return (vars_, bps, run_bps, part, False)
 
@@ -600,11 +611,7 @@ def sv_genotype(
         threading.Thread(target=_watch, daemon=True).start()
         for vars_, bps, run_bps, part, replay in plans_fmt:
             if replay:
-                with open(part) as fh:
-                    for line in fh:
-                        vcf_out.write(line)
-                n_done += len(vars_)
-                crash.chunk_done()
+                replay_part(part, len(vars_))
                 continue
             rows = [next(flat) for _ in range(len(vars_))]
             first_done.set()
