@@ -506,6 +506,9 @@ class BamFile:
             def export_empty(*mats):
                 return None
 
+            # the native arena was NOT touched: chunk_evidence() must
+            # report THIS chunk's (empty) rows, not the previous chunk's
+            self._evidence_empty = True
             return 0, 0, empty, rows, export_empty
         keep, remap, rt, rs, re_, ro, rb, rn = pre
         nfilt = filt.slice_take(remap) if filt is not None else None
@@ -516,6 +519,7 @@ class BamFile:
             rt, rs, re_, ro, rb, rn, vq, n_var, nfilt,
             max_reads=max_reads, threads=self._threads, vpred=vpred,
         )
+        self._evidence_empty = False
         export = (
             native.chunk_export_compact if vpred is not None
             else native.chunk_export
@@ -535,6 +539,9 @@ class BamFile:
         return True
 
     def chunk_evidence(self):
+        if getattr(self, "_evidence_empty", False):
+            z32 = np.zeros(0, np.int32)
+            return z32, z32.copy(), z32.copy(), z32.copy(), np.zeros(0, np.uint64)
         native = self._get_native()
         return native.chunk_evidence() if native is not None else None
 

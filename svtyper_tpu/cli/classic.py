@@ -398,13 +398,22 @@ def sv_genotype(
         # (chunk_size == batch_size keeps the writer's per-chunk flag
         # FIFO aligned with the CLI's chunk plans — the sharded engine
         # rounds its chunk size up to a device multiple)
-        if engine_kind == "tpu" and n_procs == 1 and \
-                engine.chunk_size == batch_size and all(
-            getattr(s.bam, "set_evidence_export", lambda v: False)(True)
-            for s in samples
-        ):
-            engine.evidence_sink = writer_bams.push_native
-            evidence_streamed = True
+        if (engine_kind == "tpu" and n_procs == 1
+                and engine.chunk_size == batch_size):
+            toggles = [
+                getattr(s.bam, "set_evidence_export", lambda v: False)
+                for s in samples
+            ]
+            enabled = [t(True) for t in toggles]
+            if all(enabled):
+                engine.evidence_sink = writer_bams.push_native
+                evidence_streamed = True
+            else:
+                # mixed support (e.g. BAM + CRAM): roll back so no
+                # handle records rows nobody will export
+                for t, on in zip(toggles, enabled):
+                    if on:
+                        t(False)
 
     n_done = 0
     chunk_idx = 0
@@ -433,19 +442,25 @@ def sv_genotype(
         chunk_idx += 1
         return path
 
-    def replay_part(path, n_vars):
+    def replay_part(path, vars_):
         """Emit a finished chunk's spilled lines; advance every piece
-        of per-chunk state a computed chunk would have advanced."""
+        of per-chunk state a computed chunk would have advanced —
+        including the -w evidence collection, which a replayed chunk
+        must re-fetch (the engine never sees its reads)."""
         nonlocal n_done
         with open(path) as fh:
             for line in fh:
                 vcf_out.write(line)
+        if writer_bams is not None:
+            # plain resolve (no bnd_computed mutation): mates share the
+            # anchor breakpoint and close() dedups by voffset
+            writer_bams.add_batch([registry.resolve(v) for v in vars_])
         # phase-2 multihost replay: the gathered-row cursor must
         # advance past the replayed chunk's rows
         skip = getattr(run_chunk, "skip_rows", None)
         if skip is not None:
-            skip(n_vars)
-        n_done += n_vars
+            skip(len(vars_))
+        n_done += len(vars_)
         crash.chunk_done()
 
     def plan_chunk(vars_):
@@ -529,7 +544,7 @@ def sv_genotype(
         # same input and batch_size replays them without re-genotyping
         part = part_path()
         if part is not None and os.path.exists(part):
-            replay_part(part, len(pending))
+            replay_part(part, pending)
             pending.clear()
             return
         bps, run_bps = plan_chunk(pending)
@@ -560,7 +575,6 @@ def sv_genotype(
         import itertools
 
         def chunk_plans():
-            nonlocal chunk_idx
             pend: List[Variant] = []
 
             def mk(vars_):
@@ -611,11 +625,13 @@ def sv_genotype(
         threading.Thread(target=_watch, daemon=True).start()
         for vars_, bps, run_bps, part, replay in plans_fmt:
             if replay:
-                replay_part(part, len(vars_))
+                first_done.set()  # progress: the run is not device-hung
+                replay_part(part, vars_)
                 continue
             rows = [next(flat) for _ in range(len(vars_))]
             first_done.set()
             emit_chunk(vars_, bps, rows, part)
+        first_done.set()  # loop done (possibly zero chunks): stop watcher
     else:
         for line in body:
             pending.append(Variant(line, vcf))

@@ -41,6 +41,19 @@ from svtyper_tpu.stats.library import Sample
 _DROP = 0x100 | 0x200 | 0x400 | 0x800  # secondary/qcfail/dup/supplementary
 
 
+def _rows_matrix(tid, pos, ref_end, flag, vo) -> np.ndarray:
+    """The writer's canonical index-row layout — [n, 5] int64 of
+    (tid, pos, ref_end, flag, voffset) — shared by the engine-export
+    sink and the batched re-fetch so the two paths cannot desync."""
+    m = np.empty((len(vo), 5), dtype=np.int64)
+    m[:, 0] = tid
+    m[:, 1] = pos
+    m[:, 2] = ref_end
+    m[:, 3] = flag
+    m[:, 4] = np.asarray(vo).astype(np.int64)
+    return m
+
+
 class EvidenceWriter:
     def __init__(self, path: str, samples: List[Sample]) -> None:
         self.path = path
@@ -85,13 +98,10 @@ class EvidenceWriter:
             )
             if not batch.n:
                 continue
-            m = np.empty((batch.n, 5), dtype=np.int64)
-            m[:, 0] = batch.tid
-            m[:, 1] = batch.pos
-            m[:, 2] = batch.ref_end
-            m[:, 3] = batch.flag
-            m[:, 4] = batch.voffset.astype(np.int64)
-            self._arrs[si].append(m)
+            self._arrs[si].append(_rows_matrix(
+                batch.tid, batch.pos, batch.ref_end, batch.flag,
+                batch.voffset,
+            ))
 
     # Back-compat single-variant form (oracle-path callers/tests).
     def add(self, bp: Breakpoint) -> None:
@@ -112,13 +122,9 @@ class EvidenceWriter:
             else:
                 tid, pos, end, flag, vo = ev
                 if len(vo):
-                    m = np.empty((len(vo), 5), dtype=np.int64)
-                    m[:, 0] = tid
-                    m[:, 1] = pos
-                    m[:, 2] = end
-                    m[:, 3] = flag
-                    m[:, 4] = vo.astype(np.int64)
-                    self._arrs[si].append(m)
+                    self._arrs[si].append(
+                        _rows_matrix(tid, pos, end, flag, vo)
+                    )
             self._chunk_pushes += 1
             if self._chunk_pushes == len(self.samples):
                 self._native_flags.append(self._chunk_ok)

@@ -213,3 +213,37 @@ def test_multihost_partial_part_replay(paths, tmp_path):
     rcs, errs = _run_pair(bam, vcf, outs2, ck)
     assert rcs == [0, 0], errs
     assert open(outs2[0]).read() == open(single).read()
+
+
+def test_resume_with_write_alignment_is_complete(paths, tmp_path):
+    """A checkpoint-resumed run with -w must still write EVERY genotyped
+    chunk's evidence reads — replayed chunks re-fetch theirs (r4 review
+    finding: they were silently dropped)."""
+    from svtyper_tpu.bamio.bam import BamFile
+
+    d, bam, vcf = paths
+    # reference row set: a clean full run with -w
+    full_ev = str(tmp_path / "full_ev.bam")
+    _run(["-i", vcf, "-B", bam, "-o", str(tmp_path / "f.vcf"),
+          "-n", "20000", "-w", full_ev])
+
+    ck = str(tmp_path / "ck_wres")
+    os.environ["SVT_CRASH_AFTER_CHUNKS"] = "1"
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            classic_main(["-i", vcf, "-B", bam,
+                          "-o", str(tmp_path / "x.vcf"), "-n", "20000",
+                          "--checkpoint_dir", ck, "--batch_size", "4"])
+    finally:
+        del os.environ["SVT_CRASH_AFTER_CHUNKS"]
+    res_ev = str(tmp_path / "res_ev.bam")
+    _run(["-i", vcf, "-B", bam, "-o", str(tmp_path / "r.vcf"),
+          "-n", "20000", "--checkpoint_dir", ck, "--batch_size", "4",
+          "-w", res_ev])
+
+    import numpy as np
+
+    a = BamFile(full_ev).fetch("chr1", 0, REFS[0][1])
+    b = BamFile(res_ev).fetch("chr1", 0, REFS[0][1])
+    assert b.n == a.n
+    np.testing.assert_array_equal(a.qname_hash, b.qname_hash)
