@@ -490,12 +490,16 @@ def iter_bam_records(path: str):
 
 
 def bam_to_cram(bam_path: str, cram_path: str,
-                refs: Optional[Sequence[Tuple[str, int]]] = None) -> None:
-    """Transcode a coordinate-sorted BAM into CRAM (fixture helper)."""
+                refs: Optional[Sequence[Tuple[str, int]]] = None,
+                **writer_kwargs) -> None:
+    """Transcode a coordinate-sorted BAM into CRAM (fixture helper).
+    ``writer_kwargs`` pass through to :class:`CramWriter` (e.g.
+    ``records_per_slice``, ``slices_per_container``)."""
     from svtyper_tpu.bamio.bam import BamFile
 
     bf = BamFile(bam_path, use_native=False)
-    w = CramWriter(cram_path, bf.header.refs, bf.header.text)
+    w = CramWriter(cram_path, bf.header.refs, bf.header.text,
+                   **writer_kwargs)
     for (qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen, l_seq,
          raw_tags) in iter_bam_records(bam_path):
         w.write(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
