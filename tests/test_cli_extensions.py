@@ -88,3 +88,16 @@ def test_make_example_data_script(tmp_path):
           "-o", out, "-n", "60000"])
     body = [l for l in open(out) if not l.startswith("#")]
     assert len(body) == 12
+
+
+def test_profile_flag_writes_trace(paths, tmp_path):
+    """--profile must produce a jax.profiler trace directory."""
+    d, bam, vcf = paths
+    prof = str(tmp_path / "trace")
+    _run(["-i", vcf, "-B", bam, "-o", str(tmp_path / "p.vcf"),
+          "-n", "40000", "--profile", prof])
+    assert os.path.isdir(prof)
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found.extend(files)
+    assert found, "profiler trace directory is empty"
