@@ -129,6 +129,54 @@ static inline bool edge_in_window(int64_t pos, int64_t end, int64_t tid,
 // file per 1024-variant chunk. Blocks are immutable once inflated, so
 // readers hold shared_ptrs and eviction never invalidates an in-use
 // buffer. Capacity: SVT_BLOCK_CACHE_MB (default 1024; 0 disables).
+// Process-wide cache budget, shared across every open handle's
+// BlockCache: each Sample opens its own handle, so a per-handle cap
+// would multiply by the sample count and a >=4-sample run could stack
+// caches up to the whole RAM/cgroup limit (advisor finding, r4). The
+// budget is computed once; each cache's effective cap is
+// budget / n_open_caches, re-read at every put so opening a new handle
+// lazily shrinks existing caches at their next insert.
+static std::atomic<int> g_n_caches{0};
+
+static size_t cache_budget_bytes() {
+  static size_t budget = [] {
+    // default: a quarter of RAM (cgroup-v2-aware), clamped to
+    // [256 MB, 4 GiB] for the whole process. WGS-scale fetch streams
+    // carry multi-GB inflated working sets and a too-small cache
+    // re-inflates warm passes, but a fixed large default would OOM
+    // memory-limited containers. SVT_BLOCK_CACHE_MB overrides (still
+    // interpreted PER HANDLE for back-compat with operators who sized
+    // it explicitly); 0 disables.
+    long ram_mb = 4096;  // probe-failure fallback
+    FILE* f = fopen("/proc/meminfo", "r");
+    if (f) {
+      char key[64];
+      long val;
+      char unit[16];
+      while (fscanf(f, "%63s %ld %15s", key, &val, unit) == 3) {
+        if (strcmp(key, "MemTotal:") == 0) {
+          ram_mb = val / 1024;
+          break;
+        }
+      }
+      fclose(f);
+    }
+    FILE* g = fopen("/sys/fs/cgroup/memory.max", "r");
+    if (g) {
+      long long lim;
+      if (fscanf(g, "%lld", &lim) == 1 && lim > 0 &&
+          lim / (1024 * 1024) < ram_mb)
+        ram_mb = (long)(lim / (1024 * 1024));
+      fclose(g);
+    }
+    long mb = ram_mb / 4;
+    if (mb > 4096) mb = 4096;
+    if (mb < 256) mb = 256;
+    return (size_t)mb << 20;
+  }();
+  return budget;
+}
+
 struct BlockCache {
   // O(1) LRU: entries live on an intrusive recency list; get() splices
   // the hit to the front, put() evicts from the back. The previous
@@ -144,52 +192,35 @@ struct BlockCache {
   std::unordered_map<size_t, Entry> map;
   std::list<size_t> lru;  // front = most recent
   size_t bytes = 0;
-  size_t cap = 0;
+  size_t env_cap = 0;   // explicit SVT_BLOCK_CACHE_MB (per handle)
+  bool use_env = false;
+  bool disabled = false;
 
   BlockCache() {
-    // default: a quarter of RAM (cgroup-v2-aware), clamped to
-    // [256 MB, 4 GiB] per handle. WGS-scale fetch streams carry
-    // multi-GB inflated working sets and a too-small cache re-inflates
-    // warm passes, but a fixed large default would OOM memory-limited
-    // containers. SVT_BLOCK_CACHE_MB overrides; 0 disables.
     const char* e = getenv("SVT_BLOCK_CACHE_MB");
-    long mb;
     if (e) {
-      mb = atol(e);
-    } else {
-      long ram_mb = 4096;  // probe-failure fallback
-      FILE* f = fopen("/proc/meminfo", "r");
-      if (f) {
-        char key[64];
-        long val;
-        char unit[16];
-        while (fscanf(f, "%63s %ld %15s", key, &val, unit) == 3) {
-          if (strcmp(key, "MemTotal:") == 0) {
-            ram_mb = val / 1024;
-            break;
-          }
-        }
-        fclose(f);
+      long mb = atol(e);
+      if (mb <= 0) {
+        disabled = true;
+      } else {
+        use_env = true;
+        env_cap = (size_t)mb << 20;
       }
-      FILE* g = fopen("/sys/fs/cgroup/memory.max", "r");
-      if (g) {
-        long long lim;
-        if (fscanf(g, "%lld", &lim) == 1 && lim > 0 &&
-            lim / (1024 * 1024) < ram_mb)
-          ram_mb = (long)(lim / (1024 * 1024));
-        fclose(g);
-      }
-      mb = ram_mb / 4;
-      if (mb > 4096) mb = 4096;
-      if (mb < 256) mb = 256;
     }
-    if (mb < 0) mb = 0;
-    cap = (size_t)mb << 20;
+    g_n_caches.fetch_add(1, std::memory_order_relaxed);
+  }
+  ~BlockCache() { g_n_caches.fetch_sub(1, std::memory_order_relaxed); }
+
+  size_t cap_now() const {
+    if (disabled) return 0;
+    if (use_env) return env_cap;
+    int n = g_n_caches.load(std::memory_order_relaxed);
+    return cache_budget_bytes() / (n > 0 ? (size_t)n : 1);
   }
 
   bool get(size_t co, std::shared_ptr<const std::vector<uint8_t>>* buf,
            size_t* next_co) {
-    if (!cap) return false;
+    if (disabled) return false;
     std::lock_guard<std::mutex> g(mu);
     auto it = map.find(co);
     if (it == map.end()) return false;
@@ -201,6 +232,7 @@ struct BlockCache {
 
   void put(size_t co, std::shared_ptr<const std::vector<uint8_t>> buf,
            size_t next_co) {
+    const size_t cap = cap_now();
     if (!cap) return;
     std::lock_guard<std::mutex> g(mu);
     if (map.count(co)) return;
@@ -2059,6 +2091,90 @@ void svt_perf(int64_t* out) {
   out[1] = g_perf_blocks.exchange(0, std::memory_order_relaxed);
   out[2] = g_perf_worker_ns.exchange(0, std::memory_order_relaxed);
   out[3] = g_perf_cache_hits.exchange(0, std::memory_order_relaxed);
+}
+
+// ABI contract between this library and bamio/native.py: bump whenever
+// ANY existing entry point's signature or semantics change. native.py
+// refuses to bind a stale .so whose version mismatches its expectation
+// (a stale library that merely MISSES new symbols degrades per-symbol;
+// one with a CHANGED signature would otherwise bind cleanly and be
+// called with the new argtypes — silent memory corruption; advisor
+// finding, r4).
+int32_t svt_abi_version(void) { return 5; }
+
+// Single-thread BGZF inflate roofline: re-inflate the first
+// max_blocks BGZF blocks of the handle's file in a tight loop,
+// bypassing the block cache. Returns inflated bytes (compressed bytes
+// consumed in *compressed_out, wall-ns in *ns_out), or -1. Used by
+// bench.py to report achieved-vs-roofline inflate bandwidth on the
+// measurement host (VERDICT r4 item 2).
+int64_t svt_inflate_roofline(void* handle, int64_t max_blocks,
+                             int64_t* compressed_out, int64_t* ns_out) {
+  SvtBam* h = (SvtBam*)handle;
+  if (!h || !h->data()) return -1;
+  const uint8_t* b = h->data();
+  const size_t fsize = h->size();
+  int64_t inflated = 0, compressed = 0, blocks = 0;
+  std::vector<uint8_t> out;
+#ifdef USE_LIBDEFLATE
+  struct libdeflate_decompressor* ld = libdeflate_alloc_decompressor();
+#endif
+  const int64_t t0 = now_ns();
+  size_t co = 0;
+  while (co + 18 <= fsize && (max_blocks < 0 || blocks < max_blocks)) {
+    if (b[co] != 0x1f || b[co + 1] != 0x8b) break;
+    uint16_t xlen;
+    memcpy(&xlen, b + co + 10, 2);
+    size_t xoff = co + 12, xend = xoff + xlen;
+    size_t bsize = 0;
+    while (xoff + 4 <= xend && xend <= fsize) {
+      uint8_t si1 = b[xoff], si2 = b[xoff + 1];
+      uint16_t slen;
+      memcpy(&slen, b + xoff + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, b + xoff + 4, 2);
+        bsize = (size_t)bs + 1;
+      }
+      xoff += 4 + slen;
+    }
+    if (!bsize || co + bsize > fsize) break;
+    uint32_t isize;
+    memcpy(&isize, b + co + bsize - 4, 4);
+    if (isize) {
+      if (out.size() < isize) out.resize(isize);
+      bool ok = false;
+#ifdef USE_LIBDEFLATE
+      size_t actual = 0;
+      ok = libdeflate_deflate_decompress(ld, b + xend, co + bsize - 8 - xend,
+                                         out.data(), isize, &actual) ==
+               LIBDEFLATE_SUCCESS &&
+           actual == isize;
+#else
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) == Z_OK) {
+        zs.next_in = const_cast<uint8_t*>(b) + xend;
+        zs.avail_in = (uInt)(co + bsize - 8 - xend);
+        zs.next_out = out.data();
+        zs.avail_out = isize;
+        ok = inflate(&zs, Z_FINISH) == Z_STREAM_END;
+        inflateEnd(&zs);
+      }
+#endif
+      if (!ok) break;
+      inflated += (int64_t)isize;
+      ++blocks;
+    }
+    compressed += (int64_t)bsize;
+    co += bsize;
+  }
+  if (ns_out) *ns_out = now_ns() - t0;
+#ifdef USE_LIBDEFLATE
+  libdeflate_free_decompressor(ld);
+#endif
+  if (compressed_out) *compressed_out = compressed;
+  return inflated;
 }
 
 }  // extern "C"

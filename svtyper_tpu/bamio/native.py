@@ -24,6 +24,13 @@ _lock = threading.Lock()
 _lib = None
 _load_failed = False
 
+# ABI contract with bamcore.cpp's svt_abi_version(): a stale .so whose
+# existing entry points changed signature would bind cleanly and be
+# called with the new argtypes (silent memory corruption) — the version
+# check refuses it and drops to pure Python instead (advisor, r4).
+# Bump IN LOCKSTEP with bamcore.cpp whenever any signature changes.
+_ABI_EXPECTED = 5
+
 
 class _Cols(C.Structure):
     _fields_ = [
@@ -115,6 +122,27 @@ def get_lib():
             sys.stderr.write(
                 "svtyper-tpu: native decoder unavailable, falling back "
                 "to the pure-Python BAM decoder (slower)\n"
+            )
+            return None
+        # ABI gate BEFORE binding anything: a pre-ABI artifact (no
+        # version symbol) or a mismatched version means existing entry
+        # points may have changed signature under us — pure Python is
+        # slow but correct; a wrong-argtypes call is neither.
+        try:
+            lib.svt_abi_version.restype = C.c_int32
+            lib.svt_abi_version.argtypes = []
+            abi = int(lib.svt_abi_version())
+        except AttributeError:
+            abi = -1
+        if abi != _ABI_EXPECTED:
+            _load_failed = True
+            import sys
+
+            sys.stderr.write(
+                "svtyper-tpu: native library ABI %d != expected %d "
+                "(stale %s and rebuild failed?); falling back to the "
+                "pure-Python BAM decoder (slower)\n"
+                % (abi, _ABI_EXPECTED, _SO)
             )
             return None
         try:
@@ -267,6 +295,14 @@ def _bind_extended(lib) -> None:
     try:
             lib.svt_perf.restype = None
             lib.svt_perf.argtypes = [C.POINTER(C.c_int64)]
+    except AttributeError:
+        pass
+    try:
+            lib.svt_inflate_roofline.restype = C.c_int64
+            lib.svt_inflate_roofline.argtypes = [
+                C.c_void_p, C.c_int64,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+            ]
     except AttributeError:
         pass
 
@@ -825,6 +861,29 @@ class NativeBam:
                 vo.ctypes.data_as(C.POINTER(C.c_uint64)),
             )
         return tid, pos, end, flag, vo
+
+    def inflate_roofline(self, max_blocks: int = -1) -> Optional[dict]:
+        """Single-thread bare-inflate bandwidth over this file's BGZF
+        blocks (cache bypassed): the host's inflate speed-of-light for
+        the cold-path bound (bench.py reports achieved/roofline)."""
+        if not hasattr(self._lib, "svt_inflate_roofline"):
+            return None
+        comp = C.c_int64(0)
+        ns = C.c_int64(0)
+        inflated = int(
+            self._lib.svt_inflate_roofline(
+                self._h, max_blocks, C.byref(comp), C.byref(ns)
+            )
+        )
+        if inflated < 0:
+            return None
+        secs = ns.value / 1e9
+        return {
+            "inflated_bytes": inflated,
+            "compressed_bytes": int(comp.value),
+            "wall_s": secs,
+            "bytes_per_s": inflated / secs if secs > 0 else 0.0,
+        }
 
     def build_fineidx(
         self, body_voffset: int, g_shift: int, ref_lens: List[int]

@@ -48,7 +48,11 @@ def _scan_cg(buf: bytes, off: int, end: int) -> Optional[List[Tuple[int, int]]]:
         typ = buf[off + 2]
         off += 3
         if typ in (ord("Z"), ord("H")):
-            nul = buf.index(0, off, end)
+            nul = buf.find(0, off, end)
+            if nul < 0:
+                # missing NUL terminator: fall back to the placeholder
+                # cigar instead of raising, like the C++ cg_long_cigar
+                return None
             off = nul + 1
         elif typ == ord("B"):
             if off + 5 > end:
@@ -78,18 +82,22 @@ def _scan_tags(buf: bytes, off: int, end: int) -> Tuple[Optional[bytes], Optiona
         typ = buf[off + 2]
         off += 3
         if typ in (ord("Z"), ord("H")):
-            nul = buf.index(0, off, end)
+            nul = buf.find(0, off, end)
+            if nul < 0:
+                break  # missing NUL: stop scanning, keep what we have
             if tag == b"RG":
                 rg = buf[off:nul]
             elif tag == b"SA":
                 sa = buf[off:nul]
             off = nul + 1
         elif typ == ord("B"):
+            if off + 5 > end:
+                break
             sub = buf[off]
             cnt = struct.unpack_from("<I", buf, off + 1)[0]
-            off += 5 + cnt * _TAG_SIZES[sub]
+            off += 5 + cnt * _TAG_SIZES.get(sub, 4)
         else:
-            off += _TAG_SIZES[typ]
+            off += _TAG_SIZES.get(typ, 0) or (end - off)
         if rg is not None and sa is not None:
             break
     return rg, sa

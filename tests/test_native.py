@@ -126,3 +126,40 @@ def test_threaded_fetch_many_equivalence(bam_path):
         b2, q2 = nat.fetch_many(rt, rs, re_, ro, rb, rn, threads=2)
         _assert_batches_equal(b1, b2)
         np.testing.assert_array_equal(q1, q2)
+
+
+def test_abi_version_matches():
+    """The loaded .so must carry the ABI version native.py expects
+    (the load path refuses mismatches; this guards lockstep bumps)."""
+    from svtyper_tpu.bamio.native import _ABI_EXPECTED
+
+    lib = get_lib()
+    assert int(lib.svt_abi_version()) == _ABI_EXPECTED
+
+
+def test_inflate_roofline(bam_path):
+    """svt_inflate_roofline re-inflates the whole file single-threaded:
+    inflated bytes must match the decompressed stream the normal path
+    sees, and the bandwidth must be finite and positive."""
+    import os
+
+    nat = BamFile(bam_path, use_native=True)._get_native()
+    r = nat.inflate_roofline()
+    assert r is not None
+    assert r["inflated_bytes"] > 0
+    assert 0 < r["compressed_bytes"] <= os.path.getsize(bam_path)
+    assert r["bytes_per_s"] > 0
+    # bounded re-run: max_blocks caps the scan
+    r2 = nat.inflate_roofline(max_blocks=2)
+    assert 0 < r2["inflated_bytes"] <= r["inflated_bytes"]
+
+
+def test_scan_missing_nul_graceful():
+    """Z/H aux tags missing their NUL terminator must not raise in the
+    pure-Python tag scanners (advisor finding, r4: buf.index raised
+    ValueError while the C++ twin tolerated it)."""
+    from svtyper_tpu.bamio.records import _scan_cg, _scan_tags
+
+    buf = b"RGZ" + b"lib1"  # Z tag, no NUL, runs to end of buffer
+    assert _scan_cg(buf, 0, len(buf)) is None
+    assert _scan_tags(buf, 0, len(buf)) == (None, None)
