@@ -94,6 +94,103 @@ def build_fixture():
     return bam, vcf
 
 
+def build_bnd_fixture():
+    """Breakend fixture (VERDICT r4 item 3): interchromosomal BND mate
+    PAIRS mixed with DELs, emitted in the LUMPY two-record MATEID form
+    so the bench exercises the BndRegistry anchor/copy machinery and
+    cross-chromosome fetch."""
+    from svtyper_tpu.simulate import Event, SimConfig, events_to_vcf, simulate_events
+
+    os.makedirs(CACHE, exist_ok=True)
+    n_events = int(os.environ.get("SVT_BENCH_BND_EVENTS", "1500"))
+    tag = "bnd_n%d_d%g" % (n_events, DEPTH)
+    bam = os.path.join(CACHE, "bench_%s.bam" % tag)
+    vcf = os.path.join(CACHE, "bench_%s.vcf" % tag)
+    rng = np.random.default_rng(77)
+    gts = ["0/0", "0/1", "0/1", "1/1"]
+    spacing = 20_000
+    half = (n_events + 1) // 2
+    span = half * spacing + 100_000
+    refs = [("chr1", span), ("chr2", span)]
+    events = []
+    for i in range(n_events):
+        c = i % 2
+        pos = 30_000 + (i // 2) * spacing
+        gt = gts[int(rng.integers(0, len(gts)))]
+        if i % 3 == 0:  # every third event: interchromosomal breakend
+            mate_pos = 30_000 + int(rng.integers(0, half)) * spacing + 9_000
+            events.append(Event("BND", refs[c][0], pos, mate_pos, gt,
+                                chrom2=refs[1 - c][0], var_id="b%d" % i))
+        else:
+            svlen = int(rng.integers(300, 6000))
+            events.append(Event("DEL", refs[c][0], pos, pos + svlen, gt,
+                                var_id="b%d" % i))
+    if not (os.path.exists(bam) and os.path.exists(bam + ".bai")
+            and os.path.exists(vcf)):
+        simulate_events(bam, refs, events, SimConfig(depth=DEPTH), seed=77,
+                        extra_background=2000)
+        with open(vcf, "w") as fh:
+            fh.write(events_to_vcf(events, refs, bnd_mates=True))
+    truth = {}
+    for e in events:
+        if e.svtype == "BND":
+            truth[e.var_id + "_1"] = e.gt
+            truth[e.var_id + "_2"] = e.gt
+        else:
+            truth[e.var_id] = e.gt
+    return bam, vcf, truth
+
+
+def build_ms_fixture():
+    """Two-sample fixture (VERDICT r4 item 3): the same variant set
+    against two BAMs with independently drawn genotypes, so chunks
+    carry mixed per-sample nulls and the multi-sample prep pool has
+    real overlap to show."""
+    from svtyper_tpu.simulate import Event, SimConfig, events_to_vcf, simulate_events
+
+    os.makedirs(CACHE, exist_ok=True)
+    n = int(os.environ.get("SVT_BENCH_MS_VARIANTS", "2400"))
+    tag = "ms_n%d_d%g" % (n, DEPTH)
+    bams = [os.path.join(CACHE, "bench_%s_%s.bam" % (tag, s))
+            for s in ("A", "B")]
+    vcf = os.path.join(CACHE, "bench_%s.vcf" % tag)
+    rng = np.random.default_rng(99)
+    gts = ["0/0", "0/1", "0/1", "1/1"]
+    types = ["DEL", "DEL", "DEL", "DUP", "INV"]
+    spacing = 20_000
+    refs = [("chr1", n * spacing + 100_000)]
+    base = []
+    per_sample_gts = [[], []]
+    for i in range(n):
+        pos = 30_000 + i * spacing
+        svlen = int(rng.integers(300, 6000))
+        base.append((types[i % len(types)], pos, pos + svlen, "m%d" % i))
+        for s in range(2):
+            per_sample_gts[s].append(gts[int(rng.integers(0, len(gts)))])
+    truth = [
+        {vid: per_sample_gts[s][i] for i, (_t, _p, _e, vid) in enumerate(base)}
+        for s in range(2)
+    ]
+    for s, bam in enumerate(bams):
+        if os.path.exists(bam) and os.path.exists(bam + ".bai"):
+            continue
+        events = [
+            Event(t, refs[0][0], p, e, per_sample_gts[s][i], var_id=vid)
+            for i, (t, p, e, vid) in enumerate(base)
+        ]
+        simulate_events(
+            bam, refs, events,
+            SimConfig(depth=DEPTH, sample_name="SAMPLE_%s" % "AB"[s]),
+            seed=100 + s, extra_background=2000,
+        )
+    if not os.path.exists(vcf):
+        events = [Event(t, refs[0][0], p, e, "0/0", var_id=vid)
+                  for (t, p, e, vid) in base]
+        with open(vcf, "w") as fh:
+            fh.write(events_to_vcf(events, refs, sample="SAMPLE_A"))
+    return bams, vcf, truth
+
+
 def main():
     """Parent: build the fixture, then run the measurement in a child
     process with a timeout + retries — the axon remote-compile tunnel
@@ -102,6 +199,8 @@ def main():
     import subprocess
 
     build_fixture()
+    build_bnd_fixture()
+    build_ms_fixture()
     if os.environ.get("SVT_BENCH_CHILD") == "1":
         return _measure()
     attempts = int(os.environ.get("SVT_BENCH_RETRIES", "4"))

@@ -39,7 +39,7 @@ static std::mutex g_err_mu;  // serializes handle error-string writes
 // inflated, worker wall-ns, block-cache hits. One steady_clock pair per
 // ~64 KiB block / per worker call — negligible overhead, always on.
 static std::atomic<int64_t> g_perf_inflate_ns{0}, g_perf_blocks{0},
-    g_perf_worker_ns{0}, g_perf_cache_hits{0};
+    g_perf_worker_ns{0}, g_perf_cache_hits{0}, g_perf_inflate_bytes{0};
 
 static inline int64_t now_ns() {
   return std::chrono::duration_cast<std::chrono::nanoseconds>(
@@ -403,6 +403,7 @@ struct VStream {
     ub_next = co + bsize;
     g_perf_inflate_ns.fetch_add(now_ns() - t0, std::memory_order_relaxed);
     g_perf_blocks.fetch_add(1, std::memory_order_relaxed);
+    g_perf_inflate_bytes.fetch_add((int64_t)isize, std::memory_order_relaxed);
     return 0;
   }
 
@@ -2084,13 +2085,15 @@ void svt_set_names(void* vh, const char* const* ref_names, int32_t n_ref,
   h->n_rg_cached = n_rg;
 }
 
-// Drain the process-wide perf counters into out[4] =
-// {inflate_ns, blocks_inflated, worker_ns, cache_hits} and reset them.
+// Drain the process-wide perf counters into out[5] =
+// {inflate_ns, blocks_inflated, worker_ns, cache_hits, inflate_bytes}
+// and reset them.
 void svt_perf(int64_t* out) {
   out[0] = g_perf_inflate_ns.exchange(0, std::memory_order_relaxed);
   out[1] = g_perf_blocks.exchange(0, std::memory_order_relaxed);
   out[2] = g_perf_worker_ns.exchange(0, std::memory_order_relaxed);
   out[3] = g_perf_cache_hits.exchange(0, std::memory_order_relaxed);
+  out[4] = g_perf_inflate_bytes.exchange(0, std::memory_order_relaxed);
 }
 
 // ABI contract between this library and bamio/native.py: bump whenever
@@ -2100,7 +2103,7 @@ void svt_perf(int64_t* out) {
 // one with a CHANGED signature would otherwise bind cleanly and be
 // called with the new argtypes — silent memory corruption; advisor
 // finding, r4).
-int32_t svt_abi_version(void) { return 5; }
+int32_t svt_abi_version(void) { return 6; }
 
 // Single-thread BGZF inflate roofline: re-inflate the first
 // max_blocks BGZF blocks of the handle's file in a tight loop,

@@ -29,7 +29,7 @@ _load_failed = False
 # called with the new argtypes (silent memory corruption) — the version
 # check refuses it and drops to pure Python instead (advisor, r4).
 # Bump IN LOCKSTEP with bamcore.cpp whenever any signature changes.
-_ABI_EXPECTED = 5
+_ABI_EXPECTED = 6
 
 
 class _Cols(C.Structure):
@@ -310,18 +310,19 @@ def _bind_extended(lib) -> None:
 def perf_counters() -> dict:
     """Drain the native perf counters: inflate wall-seconds, blocks
     inflated, worker wall-seconds (summed across decode threads),
-    block-cache hits."""
+    block-cache hits, bytes actually inflated (cache hits excluded)."""
     lib = get_lib()
     if lib is None:
         return {"inflate_s": 0.0, "blocks": 0, "worker_s": 0.0,
-                "cache_hits": 0}
-    out = (C.c_int64 * 4)()
+                "cache_hits": 0, "inflate_bytes": 0}
+    out = (C.c_int64 * 5)()
     lib.svt_perf(out)
     return {
         "inflate_s": out[0] / 1e9,
         "blocks": int(out[1]),
         "worker_s": out[2] / 1e9,
         "cache_hits": int(out[3]),
+        "inflate_bytes": int(out[4]),
     }
 
 

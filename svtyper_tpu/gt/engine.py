@@ -574,7 +574,9 @@ class TpuEngine:
             self._dens_stack_cache[si] = d
         return d
 
-    def _collect(self, n_bps: int, arrs) -> List[List[GenotypeResult]]:
+    def _collect(
+        self, n_bps: int, arrs, raw: bool = False
+    ) -> List[List[GenotypeResult]]:
         t0 = time.time()
         per_sample = [np.asarray(a) for a in arrs]  # sync point
         if self.sharded:
@@ -584,6 +586,11 @@ class TpuEngine:
                 a.reshape(-1, a.shape[-1]) for a in per_sample
             ]
         self.stats["sync_s"] += time.time() - t0
+        if raw:
+            # vectorized-emission path (cli fast_emit): hand back the
+            # packed [chunk, 24] matrices — one per sample — without
+            # exploding them into per-variant Python objects
+            return n_bps, per_sample
         return [
             [_to_result(ps, vi) for ps in per_sample]
             for vi in range(n_bps)
@@ -609,7 +616,7 @@ class TpuEngine:
         """→ results[variant][sample], matching OracleEngine layout."""
         return self._collect(len(bps), self._dispatch(bps))
 
-    def genotype_stream(self, bps_iter):
+    def genotype_stream(self, bps_iter, raw: bool = False):
         """Streaming form of :meth:`genotype_all`: consume an ITERABLE
         of breakpoints lazily and yield one chunk's worth of
         ``results[variant][sample]`` lists at a time, keeping host RSS
@@ -618,7 +625,12 @@ class TpuEngine:
         runs fetch+layout for chunk k+1 while the main thread
         transfers/dispatches chunk k (async on device) and a collector
         thread syncs + unpacks chunk k-1; in-flight device chunks are
-        bounded, so device buffers stay O(1)."""
+        bounded, so device buffers stay O(1).
+
+        ``raw=True`` yields ``(n_real, [per-sample [chunk, 24] array])``
+        per chunk instead of GenotypeResult lists — the CLI's
+        vectorized formatter consumes these directly (see
+        ``svtyper_tpu.fast_emit``; VERDICT r4 item 1)."""
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         from itertools import islice
@@ -648,7 +660,7 @@ class TpuEngine:
                 pump()
                 arrs = self._send(payloads)
                 collects.append(
-                    collect_pool.submit(self._collect, n_real, arrs)
+                    collect_pool.submit(self._collect, n_real, arrs, raw)
                 )
                 while len(collects) >= 3:
                     yield collects.popleft().result()

@@ -309,8 +309,14 @@ def simulate_events(
 
 
 def events_to_vcf(events: List[Event], refs: List[Tuple[str, int]],
-                  sample: str = "NA12878") -> str:
-    """Minimal LUMPY-style VCF text for the simulated events."""
+                  sample: str = "NA12878", bnd_mates: bool = False) -> str:
+    """Minimal LUMPY-style VCF text for the simulated events.
+
+    ``bnd_mates=True`` emits each BND event as a mate PAIR (``<id>_1``
+    at chromA:pos with ALT ``N[chromB:end[`` and ``<id>_2`` at
+    chromB:end with ALT ``]chromA:pos]N``, cross-referenced via
+    MATEID) — the LUMPY breakend form the BndRegistry genotypes once
+    and copies to the mate (SURVEY.md §3.2)."""
     lines = [
         "##fileformat=VCFv4.2",
         "##source=svtyper_tpu.simulate",
@@ -338,6 +344,21 @@ def events_to_vcf(events: List[Event], refs: List[Tuple[str, int]],
         ci = "CIPOS=%d,%d;CIEND=%d,%d" % (ev.ci[0], ev.ci[1],
                                           ev.ci[0], ev.ci[1])
         if ev.svtype == "BND":
+            if bnd_mates:
+                id1, id2 = ev.var_id + "_1", ev.var_id + "_2"
+                alt1 = "N[%s:%d[" % (ev.chrom2, ev.end)
+                alt2 = "]%s:%d]N" % (ev.chrom, ev.pos)
+                info1 = "SVTYPE=BND;MATEID=%s;EVENT=%s;%s" % (
+                    id2, ev.var_id, ci)
+                info2 = "SVTYPE=BND;MATEID=%s;EVENT=%s;SECONDARY;%s" % (
+                    id1, ev.var_id, ci)
+                lines.append("\t".join(
+                    (ev.chrom, str(ev.pos), id1, "N", alt1, ".", ".",
+                     info1, "GT", "./.")))
+                lines.append("\t".join(
+                    (ev.chrom2, str(ev.end), id2, "N", alt2, ".", ".",
+                     info2, "GT", "./.")))
+                continue
             alt = "N[%s:%d[" % (ev.chrom2, ev.end)
             info = "SVTYPE=BND;" + ci
         else:
