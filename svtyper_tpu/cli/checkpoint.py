@@ -51,6 +51,24 @@ def _file_identity(path: str) -> Dict[str, object]:
             "sha256_headtail": h.hexdigest()}
 
 
+def build_manifest_hashed(
+    bam_paths: List[str],
+    vcf_sha256: str,
+    n_records: int,
+    flags: Dict[str, object],
+) -> Dict[str, object]:
+    """Input + configuration fingerprint from a PRE-COMPUTED content
+    hash — the streaming CLI hashes the body during its single
+    pre-scan pass instead of materializing it (VERDICT r4 item 4)."""
+    return {
+        "version": 1,
+        "vcf_sha256": vcf_sha256,
+        "n_records": n_records,
+        "bams": [_file_identity(p) for p in bam_paths],
+        "flags": {k: flags[k] for k in sorted(flags)},
+    }
+
+
 def build_manifest(
     bam_paths: List[str],
     header_lines: List[str],
@@ -68,13 +86,9 @@ def build_manifest(
     for line in body_lines:
         h.update(line.encode())
         h.update(b"\n")
-    return {
-        "version": 1,
-        "vcf_sha256": h.hexdigest(),
-        "n_records": len(body_lines),
-        "bams": [_file_identity(p) for p in bam_paths],
-        "flags": {k: flags[k] for k in sorted(flags)},
-    }
+    return build_manifest_hashed(
+        bam_paths, h.hexdigest(), len(body_lines), flags
+    )
 
 
 def ensure_manifest(checkpoint_dir: str, manifest: Dict[str, object]) -> None:

@@ -203,14 +203,55 @@ def sv_genotype(
     for name in sample_names:
         vcf.add_sample(name)
 
-    # BND mate registry (SURVEY.md §3.2): a pre-scan of the body maps
-    # both records of each breakend pair to ONE shared breakpoint,
-    # anchored at the primary (non-SECONDARY) record with the B-side CI
-    # from the mate's CIPOS. Requires materializing the body (the
-    # registry must see mates that appear after the current record).
-    body = list(body)
+    # Streaming pre-scan (SURVEY.md §5 scale axis; VERDICT r4 item 4):
+    # ONE pass over the body computes the record count, the checkpoint
+    # manifest's content hash, and the BND-only line subset the mate
+    # registry needs (it must see mates that appear after the current
+    # record). Seekable inputs are then RE-STREAMED lazily per
+    # consumer instead of materialized, so CLI host RSS stays flat
+    # over million-variant VCFs; a pipe (stdin) still buffers.
+    import hashlib
+    import itertools
+
+    vcf_sha = hashlib.sha256()
+    for line in header_lines:
+        vcf_sha.update(line.encode())
+        vcf_sha.update(b"\n")
+    vcf_sha.update(b"--\n")
+    bnd_lines: List[str] = []
+    n_records = 0
+    try:
+        seekable = vcf_in.seekable()
+    except Exception:
+        seekable = False
+    if seekable:
+        for line in body:
+            n_records += 1
+            vcf_sha.update(line.encode())
+            vcf_sha.update(b"\n")
+            if "SVTYPE=BND" in line:
+                bnd_lines.append(line)
+
+        def get_body():
+            vcf_in.seek(0)
+            return read_vcf_lines(vcf_in)[1]
+    else:
+        _buf = list(body)
+        n_records = len(_buf)
+        for line in _buf:
+            vcf_sha.update(line.encode())
+            vcf_sha.update(b"\n")
+            if "SVTYPE=BND" in line:
+                bnd_lines.append(line)
+
+        def get_body():
+            return iter(_buf)
+
+    # the registry only reads BND records; feeding it the filtered
+    # subset preserves relative input order (its primary-anchor
+    # tie-break), so resolution is identical to a full-body scan
     registry = BndRegistry()
-    registry.scan(body)
+    registry.scan(bnd_lines)
 
     # checkpoint manifest guard: replay is keyed by chunk index, so the
     # directory must be bound to THIS input + flag tuple — a mismatch
@@ -220,10 +261,12 @@ def sv_genotype(
 
     crash = CrashInjector()
     if checkpoint_dir:
-        import hashlib
         import json
 
-        from svtyper_tpu.cli.checkpoint import build_manifest, ensure_manifest
+        from svtyper_tpu.cli.checkpoint import (
+            build_manifest_hashed,
+            ensure_manifest,
+        )
 
         lib_sha = hashlib.sha256(
             json.dumps(
@@ -232,8 +275,8 @@ def sv_genotype(
         ).hexdigest()
         ensure_manifest(
             checkpoint_dir,
-            build_manifest(
-                bam_paths, header_lines, body,
+            build_manifest_hashed(
+                bam_paths, vcf_sha.hexdigest(), n_records,
                 flags={
                     "min_aligned": min_aligned,
                     "split_weight": split_weight,
@@ -264,16 +307,20 @@ def sv_genotype(
             result_to_row,
             row_to_result,
         )
-        from svtyper_tpu.parallel.multihost import merge_ordered
-
         from svtyper_tpu.cli.checkpoint import (
             load_rows,
             rows_part_path,
             save_rows,
         )
 
-        slices = shard_slices(len(body), n_procs)
+        slices = shard_slices(n_records, n_procs)
         lo, hi = slices[proc_id]
+        rounds_per_host = [
+            -(-(s1 - s0) // batch_size) if s1 > s0 else 0
+            for (s0, s1) in slices
+        ]
+        max_rounds = max(rounds_per_host) if rounds_per_host else 0
+        body_p1 = itertools.islice(get_body(), lo, hi)
 
         def slice_plans():
             # per-chunk row spill (pre-gather): a restarted shard
@@ -281,17 +328,20 @@ def sv_genotype(
             # the remainder, so the allgathered row stream stays
             # synchronized across hosts (SURVEY.md §5 checkpoint row)
             for c0 in range(lo, hi, batch_size):
+                k = min(c0 + batch_size, hi) - c0
                 part = (
                     rows_part_path(checkpoint_dir, proc_id, c0)
                     if checkpoint_dir else None
                 )
                 cached = load_rows(part) if part else None
                 if cached is not None:
+                    for _ in itertools.islice(body_p1, k):
+                        pass  # advance the stream past the cached chunk
                     yield None, cached, part
                     continue
                 chunk_vars = [
                     Variant(line, vcf)
-                    for line in body[c0 : min(c0 + batch_size, hi)]
+                    for line in itertools.islice(body_p1, k)
                 ]
                 # registry.resolve gives BOTH mates of a BND pair the
                 # same anchor breakpoint, so hosts compute identical
@@ -307,13 +357,40 @@ def sv_genotype(
                     arr[j, s] = result_to_row(r)
             return arr
 
-        chunk_arrs: List[np.ndarray] = []
+        # Bounded gather (VERDICT r4 item 4): ONE collective per chunk
+        # round instead of a single whole-slice allgather — no host
+        # ever holds more than one round of foreign rows in memory.
+        # Host 0 spills each gathered round to disk and streams it back
+        # in phase 2; hosts that run out of chunks keep participating
+        # with empty arrays so the collective count matches everywhere.
+        import shutil
+        import tempfile
+
+        gather_dir = (
+            tempfile.mkdtemp(prefix="svt_gather_") if proc_id == 0 else None
+        )
+        _round = [0]
+        empty_rows = np.zeros(
+            (0, len(sample_names), ROW_WIDTH), np.float64
+        )
+
+        def gather_round(arr):
+            shards_r = allgather_rows(arr)
+            if proc_id == 0:
+                for h, rows_h in enumerate(shards_r):
+                    np.save(
+                        os.path.join(
+                            gather_dir,
+                            "g_h%03d_r%06d.npy" % (h, _round[0]),
+                        ),
+                        rows_h,
+                    )
+            _round[0] += 1
+
         if engine_kind == "tpu":
             # pipelined drive (same rationale as the single-host stream
             # below): feed every to-compute chunk through
             # genotype_stream and encode rows as they surface
-            import itertools
-
             plans_feed, plans_fmt = itertools.tee(slice_plans())
 
             def feed():
@@ -332,7 +409,7 @@ def sv_genotype(
                     cached = encode_rows(res)
                     if part:
                         save_rows(part, cached)
-                chunk_arrs.append(cached)
+                gather_round(cached)
                 crash.chunk_done()
         else:
             for bps_chunk, cached, part in slice_plans():
@@ -340,33 +417,62 @@ def sv_genotype(
                     cached = encode_rows(run_chunk(bps_chunk))
                     if part:
                         save_rows(part, cached)
-                chunk_arrs.append(cached)
+                gather_round(cached)
                 crash.chunk_done()
-        arr = (
-            np.concatenate(chunk_arrs, axis=0)
-            if chunk_arrs
-            else np.zeros((0, len(sample_names), ROW_WIDTH), np.float64)
-        )
+        for _ in range(_round[0], max_rounds):
+            gather_round(empty_rows)
         if verbose:
             sys.stderr.write(
-                "host %d/%d: genotyped slice [%d:%d); gathering\n"
-                % (proc_id, n_procs, lo, hi)
+                "host %d/%d: genotyped slice [%d:%d) in %d gather "
+                "rounds\n" % (proc_id, n_procs, lo, hi, _round[0])
             )
-        shards = allgather_rows(arr)
         if proc_id != 0:
             return  # host 0 owns formatting + the single ordered write
-        all_rows = merge_ordered(shards, slices)
+
         # phase 2 (host 0 only): replay the ordinary formatting pipeline
         # (BND mate sharing, QUAL aggregation, FORMAT emission) over the
-        # full record stream with genotyping replaced by a row lookup
-        _cursor = [0]
+        # full record stream with genotyping replaced by a bounded
+        # streaming read of the gathered rows. Host-major file order ==
+        # global input order (slices are contiguous and ordered), which
+        # is exactly what merge_ordered asserted for the in-memory path.
+        class _RowReader:
+            def __init__(self, paths):
+                self._paths = iter(paths)
+                self._cur = None
+                self._off = 0
 
-        def run_chunk(bps_chunk, _rows=all_rows, _c=_cursor):
-            k = _c[0]
-            _c[0] += len(bps_chunk)
+            def take(self, k):
+                parts = []
+                need = k
+                while need > 0:
+                    if self._cur is None or self._off >= len(self._cur):
+                        self._cur = np.load(next(self._paths))
+                        self._off = 0
+                        continue
+                    t = min(need, len(self._cur) - self._off)
+                    parts.append(self._cur[self._off : self._off + t])
+                    self._off += t
+                    need -= t
+                if not parts:
+                    return empty_rows
+                return (
+                    parts[0] if len(parts) == 1
+                    else np.concatenate(parts, axis=0)
+                )
+
+        _reader = _RowReader(
+            [
+                os.path.join(gather_dir, "g_h%03d_r%06d.npy" % (h, r))
+                for h in range(n_procs)
+                for r in range(max_rounds)
+            ]
+        )
+
+        def run_chunk(bps_chunk, _rd=_reader):
+            rows = _rd.take(len(bps_chunk))
             return [
                 [
-                    row_to_result(_rows[k + j, s])
+                    row_to_result(rows[j, s])
                     for s in range(len(sample_names))
                 ]
                 for j in range(len(bps_chunk))
@@ -376,9 +482,7 @@ def sv_genotype(
         # chunk; the row cursor must still advance past that chunk's
         # rows or every later variant reads an earlier variant's row
         # (review finding, r4 — silent wrong-output class)
-        run_chunk.skip_rows = lambda n, _c=_cursor: _c.__setitem__(
-            0, _c[0] + n
-        )
+        run_chunk.skip_rows = lambda n, _rd=_reader: _rd.take(n)
 
     if shard_index == 0:
         # shards >0 emit body-only so that `cat shard0 shard1 ...` is
@@ -562,12 +666,15 @@ def sv_genotype(
     # outputs concatenate to the single-host output byte-for-byte
     from svtyper_tpu.parallel.multihost import shard_slices
 
+    # emission re-streams the body from the start (the multihost phase 1
+    # consumed its own stream; seekable inputs re-open for free)
+    body_emit = get_body()
     if num_shards > 1:
         # the BND registry was built from the FULL body above, so a
         # breakend pair straddling a shard boundary still resolves to
         # the same anchor breakpoint on both shards
-        lo, hi = shard_slices(len(body), num_shards)[shard_index]
-        body = body[lo:hi]
+        lo, hi = shard_slices(n_records, num_shards)[shard_index]
+        body_emit = itertools.islice(body_emit, lo, hi)
 
     if engine_kind == "tpu" and n_procs == 1:
         # streaming drive: chunk PLANS feed the engine's pipelined
@@ -589,7 +696,7 @@ def sv_genotype(
                 bps, run_bps = plan_chunk(vars_)
                 return (vars_, bps, run_bps, part, False)
 
-            for line in body:
+            for line in body_emit:
                 pend.append(Variant(line, vcf))
                 if len(pend) >= batch_size:
                     yield mk(pend)
@@ -668,13 +775,17 @@ def sv_genotype(
                 emit_chunk(vars_, bps, rows, part)
         first_done.set()  # loop done (possibly zero chunks): stop watcher
     else:
-        for line in body:
+        for line in body_emit:
             pending.append(Variant(line, vcf))
             if len(pending) >= batch_size:
                 flush()
         flush()
     if writer_bams is not None:
         writer_bams.close()
+    if n_procs > 1 and proc_id == 0:
+        import shutil
+
+        shutil.rmtree(gather_dir, ignore_errors=True)
     if hasattr(engine, "close"):
         engine.close()  # release the multi-sample prep pool promptly
     if verbose and hasattr(engine, "stats"):
