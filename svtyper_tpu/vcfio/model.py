@@ -164,20 +164,25 @@ class Variant:
         self.active_formats: set = set()
         self._gts: Dict[str, Genotype] = {}
         self.genotyped = False  # QUAL/FORMAT rewritten on emit when True
-        # parse any pre-existing sample columns
+        # Pre-existing sample columns: declare their FORMAT ids and
+        # record which carry values, but build the per-sample Genotype
+        # objects LAZILY (first genotype() call). Genotype holds a
+        # backref to its Variant, so eager construction makes a
+        # reference cycle per record that only cycle-GC can reclaim —
+        # at CLI streaming rates that backlogged tens of thousands of
+        # records between gen-2 collections (r5 soak finding); the
+        # vectorized fast path never touches Genotype at all.
+        self._gts_parsed = len(cols) <= 9
         if len(cols) > 9:
             in_fields = cols[8].split(":")
             for fid in in_fields:
                 if fid not in vcf.format_list:
                     vcf.format_list.append(fid)
                     vcf._format_defs.setdefault(fid, ("", "", ""))
-            for name, text in zip(vcf.sample_list, cols[9:]):
-                g = Genotype(self)
+            for text in cols[9:]:
                 for fid, val in zip(in_fields, text.split(":")):
                     if val != ".":
-                        g._values[fid] = val
                         self.active_formats.add(fid)
-                self._gts[name] = g
 
     # -- INFO --------------------------------------------------------------
     @property
@@ -216,7 +221,22 @@ class Variant:
         return ";".join(parts)
 
     # -- genotypes -----------------------------------------------------------
+    def _parse_gts(self) -> None:
+        """Deferred ingestion of pre-existing sample columns (see
+        ``__init__``); idempotent."""
+        if self._gts_parsed:
+            return
+        self._gts_parsed = True
+        in_fields = self.cols[8].split(":")
+        for name, text in zip(self.vcf.sample_list, self.cols[9:]):
+            g = Genotype(self)
+            for fid, val in zip(in_fields, text.split(":")):
+                if val != ".":
+                    g._values[fid] = val
+            self._gts[name] = g
+
     def genotype(self, sample_name: str) -> Genotype:
+        self._parse_gts()
         g = self._gts.get(sample_name)
         if g is None:
             g = Genotype(self)

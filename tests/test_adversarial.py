@@ -326,3 +326,121 @@ def test_multislice_cram_container(tmp_path):
     b2 = bf.fetch("chr1", mid - 5, mid + 5)
     assert a2.n == b2.n > 0
     np.testing.assert_array_equal(a2.qname_hash, b2.qname_hash)
+
+
+def test_cram_bzip2_lzma_block_codecs(tmp_path, monkeypatch):
+    """The CRAM read path advertises bzip2 and lzma block codecs
+    (cram.py::uncompress_block) but our writer never emits them — write
+    a file whose data blocks alternate bzip2/lzma (method bytes 2/3,
+    same framing) and require decode identical to the BAM twin."""
+    import bz2
+    import lzma
+
+    import svtyper_tpu.bamio.cram_writer as cw_mod
+    from svtyper_tpu.bamio.cram import (
+        CramFile, M_BZIP2, M_GZIP, M_LZMA, write_itf8,
+    )
+    from svtyper_tpu.bamio.cram_writer import CramWriter
+
+    counter = {"i": 0}
+
+    def bzlz_write_block(out, method, ctype, content_id, raw):
+        if method == M_GZIP:  # transcode every would-be-gzip block
+            counter["i"] += 1
+            if counter["i"] % 2:
+                method, data = M_BZIP2, bz2.compress(raw)
+            else:
+                method, data = M_LZMA, lzma.compress(raw)
+        elif method == 4:  # rANS stays (core entropy path)
+            from svtyper_tpu.bamio import rans
+
+            data = rans.compress(raw, order=0)
+        else:
+            data = raw
+        blk = bytearray()
+        blk.append(method)
+        blk.append(ctype)
+        write_itf8(blk, content_id)
+        write_itf8(blk, len(data))
+        write_itf8(blk, len(raw))
+        blk.extend(data)
+        blk.extend(struct.pack("<I", zlib.crc32(bytes(blk)) & 0xFFFFFFFF))
+        out.extend(blk)
+
+    rng = np.random.default_rng(11)
+    recs = []
+    pos = 2_000
+    for i in range(60):
+        cigar = [(S, 2), (M, 40 + int(rng.integers(0, 20)))]
+        feats = CigarFeatures(pos, cigar)
+        seq = "".join(rng.choice(list("ACGT"), feats.query_len))
+        recs.append(("bz%03d" % i, 0x1 | 0x40 | 0x8, 0, pos, 40, cigar,
+                     -1, -1, 0, seq, {"RG": ("Z", "rg1")}))
+        pos += int(rng.integers(20, 400))
+    bam = _write(tmp_path / "bz.bam", recs)
+
+    monkeypatch.setattr(cw_mod, "write_block", bzlz_write_block)
+    cram_path = str(tmp_path / "bz.cram")
+    w = CramWriter(cram_path, REFS, HDR)
+    for qname, flag, tid, p, mapq, cigar, mtid, mpos, tlen, seq, tags \
+            in recs:
+        w.write(qname, flag, tid, p, mapq, cigar, mate_tid=mtid,
+                mate_pos=mpos, tlen=tlen, seq=seq, tags=tags)
+    w.close()
+    assert counter["i"] > 0  # the transcoder really engaged
+
+    a = CramFile(cram_path).fetch("chr1", 0, 2_000_000)
+    b = BamFile(bam).fetch("chr1", 0, 2_000_000)
+    assert a.n == b.n == 60
+    for name in ("tid", "pos", "ref_end", "flag", "mapq", "qname_hash"):
+        np.testing.assert_array_equal(
+            getattr(a, name), getattr(b, name), err_msg=name
+        )
+
+
+def test_bitflip_fuzz_sweep_bam(tmp_path):
+    """Bit-flip fuzz over a whole BAM (VERDICT r4 item 8): for dozens
+    of seeded random byte positions, flipping that byte must yield
+    either a successful decode (the byte was slack/quality data) or a
+    CONTROLLED error — never a crash. The native decoder runs in the
+    same sweep (a segfault would abort the test process; `make asan`
+    re-runs this file for the memory-error variant)."""
+    rng = np.random.default_rng(23)
+    recs = []
+    pos = 1_500
+    for i in range(50):
+        cigar = [(M, 60), (S, 4)]
+        feats = CigarFeatures(pos, cigar)
+        seq = "".join(rng.choice(list("ACGT"), feats.query_len))
+        recs.append(("f%03d" % i, 0x1 | 0x40 | 0x8, 0, pos, 30, cigar,
+                     -1, -1, 0, seq, {"RG": ("Z", "rg1"),
+                                      "SA": ("Z", "chr2,5,+,10M,3,0;")}))
+        pos += int(rng.integers(30, 200))
+    path = _write(tmp_path / "fz.bam", recs)
+    data = bytearray(open(path, "rb").read())
+    allowed = (ValueError, struct.error, zlib.error, OSError, EOFError,
+               IndexError)
+    n_err = n_ok = 0
+    for trial in range(64):
+        flip = bytearray(data)
+        k = int(rng.integers(0, len(flip)))
+        flip[k] ^= 1 << int(rng.integers(0, 8))
+        bad = tmp_path / ("flip_%d.bam" % trial)
+        bad.write_bytes(bytes(flip))
+        # reuse the pristine index: byte flips may corrupt voffsets too
+        import shutil
+
+        shutil.copy(path + ".bai", str(bad) + ".bai")
+        for use_native in (
+            (False, True) if get_lib() is not None else (False,)
+        ):
+            try:
+                b = BamFile(str(bad), use_native=use_native)
+                got = b.fetch("chr1", 0, 2_000_000)
+                assert 0 <= got.n <= 200
+                n_ok += 1
+            except allowed:
+                n_err += 1
+        bad.unlink()
+    # the sweep must have exercised both outcomes
+    assert n_ok > 0 and n_err > 0, (n_ok, n_err)

@@ -101,3 +101,32 @@ def test_reader_split():
     header, body = read_vcf_lines(stream)
     assert header == HEADER.splitlines()
     assert list(body) == [RECORD, RECORD]
+
+
+def test_sample_columns_parse_lazily():
+    """Pre-existing sample columns must not build Genotype objects at
+    construction (Genotype<->Variant is a reference cycle; eager
+    construction backlogged ~40k records between gen-2 GC passes in the
+    r5 CLI soak) — but active_formats is still populated eagerly and
+    the values round-trip once genotype() is called."""
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+
+    vcf = Vcf()
+    vcf.add_header([
+        "##fileformat=VCFv4.2",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1",
+    ])
+    v = Variant(
+        "chr1\t100\tx\tN\t<DEL>\t.\t.\tSVTYPE=DEL\tGT:SU\t./.:5", vcf
+    )
+    assert v.active_formats == {"GT", "SU"}
+    assert not v._gts  # lazy: no Genotype objects yet
+    g = v.genotype("S1")
+    assert g.get_format("GT") == "./."
+    assert g.get_format("SU") == "5"
+    # all-dot values never activate a field
+    v2 = Variant(
+        "chr1\t200\ty\tN\t<DEL>\t.\t.\tSVTYPE=DEL\tGT:SU\t./.:.", vcf
+    )
+    assert v2.active_formats == {"GT"}
