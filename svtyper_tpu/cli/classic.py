@@ -544,6 +544,7 @@ def sv_genotype(
     n_done = 0
     chunk_idx = 0
     t_gt = time.time()
+    t_first_chunk = [None]  # wall time when the first chunk emitted
     pending: List[Variant] = []
     # BND mate pairing (SPEC.md §2, §8.8): each breakend event is
     # genotyped ONCE — at the first-arriving record's slot, with the
@@ -633,6 +634,11 @@ def sv_genotype(
                 fh.writelines(out_lines)
             os.replace(tmp, part)
         n_done += len(vars_)
+        if t_first_chunk[0] is None:
+            # one-time device program load/compile dominates the first
+            # chunk on a fresh process; recording its boundary lets the
+            # bench report steady-state CLI throughput honestly
+            t_first_chunk[0] = time.time()
         crash.chunk_done()
         if verbose:
             dt = time.time() - t_gt
@@ -833,6 +839,9 @@ def sv_genotype(
             "n_variants": n_done,
             "genotype_wall_s": time.time() - t_gt,
             "total_wall_s": time.time() - t0,
+            "first_chunk_s": (
+                (t_first_chunk[0] - t_gt) if t_first_chunk[0] else None
+            ),
         }
         if hasattr(engine, "stats"):
             payload.update(
