@@ -39,7 +39,16 @@ static std::mutex g_err_mu;  // serializes handle error-string writes
 // inflated, worker wall-ns, block-cache hits. One steady_clock pair per
 // ~64 KiB block / per worker call — negligible overhead, always on.
 static std::atomic<int64_t> g_perf_inflate_ns{0}, g_perf_blocks{0},
-    g_perf_worker_ns{0}, g_perf_cache_hits{0}, g_perf_inflate_bytes{0};
+    g_perf_worker_ns{0}, g_perf_cache_hits{0}, g_perf_inflate_bytes{0},
+    g_perf_inflate_cpu_ns{0};
+
+// per-thread CPU time: wall-vs-cpu separates the inflate code's true
+// cost from scheduler contention on small hosts (bench roofline frac)
+static inline int64_t thread_cpu_ns() {
+  timespec ts;
+  clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
+  return (int64_t)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
 
 static inline int64_t now_ns() {
   return std::chrono::duration_cast<std::chrono::nanoseconds>(
@@ -129,6 +138,30 @@ static inline bool edge_in_window(int64_t pos, int64_t end, int64_t tid,
 // file per 1024-variant chunk. Blocks are immutable once inflated, so
 // readers hold shared_ptrs and eviction never invalidates an in-use
 // buffer. Capacity: SVT_BLOCK_CACHE_MB (default 1024; 0 disables).
+// Inflated-block storage WITHOUT value-initialization: a plain
+// std::vector<uint8_t>(isize) memsets the 64 KiB block before
+// libdeflate overwrites every byte — during a cold pass that growing
+// cache already pays the kernel's page-zeroing on first touch, so the
+// redundant memset was a full extra pass over the working set
+// (measured: inflate CPU-time ran ~4x the bare single-buffer roofline;
+// see bench.py inflate_roofline_frac).
+template <class T>
+struct NoInitAlloc {
+  using value_type = T;
+  T* allocate(size_t n) { return (T*)::operator new(n * sizeof(T)); }
+  void deallocate(T* p, size_t) noexcept { ::operator delete(p); }
+  template <class U>
+  void construct(U*) noexcept {}  // default-init: no zeroing
+  template <class U, class... A>
+  void construct(U* p, A&&... a) {
+    ::new ((void*)p) U(std::forward<A>(a)...);
+  }
+  template <class U> struct rebind { using other = NoInitAlloc<U>; };
+  bool operator==(const NoInitAlloc&) const noexcept { return true; }
+  bool operator!=(const NoInitAlloc&) const noexcept { return false; }
+};
+using BlockVec = std::vector<uint8_t, NoInitAlloc<uint8_t>>;
+
 // Process-wide cache budget, shared across every open handle's
 // BlockCache: each Sample opens its own handle, so a per-handle cap
 // would multiply by the sample count and a >=4-sample run could stack
@@ -184,7 +217,7 @@ struct BlockCache {
   // filled (observed 30x per-block slowdown past ~16k resident blocks
   // on a >1 GB working set).
   struct Entry {
-    std::shared_ptr<const std::vector<uint8_t>> buf;
+    std::shared_ptr<const BlockVec> buf;
     size_t next_co;
     std::list<size_t>::iterator lru_it;
   };
@@ -218,7 +251,7 @@ struct BlockCache {
     return cache_budget_bytes() / (n > 0 ? (size_t)n : 1);
   }
 
-  bool get(size_t co, std::shared_ptr<const std::vector<uint8_t>>* buf,
+  bool get(size_t co, std::shared_ptr<const BlockVec>* buf,
            size_t* next_co) {
     if (disabled) return false;
     std::lock_guard<std::mutex> g(mu);
@@ -230,7 +263,7 @@ struct BlockCache {
     return true;
   }
 
-  void put(size_t co, std::shared_ptr<const std::vector<uint8_t>> buf,
+  void put(size_t co, std::shared_ptr<const BlockVec> buf,
            size_t next_co) {
     const size_t cap = cap_now();
     if (!cap) return;
@@ -310,7 +343,7 @@ const char* svt_error(void* vh) {
 
 // ------------------------------------------------------------- stream
 
-static const std::vector<uint8_t> kEmptyBlock;
+static const BlockVec kEmptyBlock;
 
 struct VStream {
   SvtBam* h;
@@ -320,7 +353,7 @@ struct VStream {
   // current inflated block: shared with (and kept alive independently
   // of) the handle's BlockCache — streams never mutate a cached block,
   // so any number can decode the same handle concurrently
-  std::shared_ptr<const std::vector<uint8_t>> ubp;
+  std::shared_ptr<const BlockVec> ubp;
   size_t ub_coffset = SIZE_MAX;
   size_t ub_next = 0;
 #ifdef USE_LIBDEFLATE
@@ -331,7 +364,7 @@ struct VStream {
   }
 #endif
 
-  const std::vector<uint8_t>& ub() const {
+  const BlockVec& ub() const {
     return ubp ? *ubp : kEmptyBlock;
   }
 
@@ -343,6 +376,7 @@ struct VStream {
       return 0;
     }
     const int64_t t0 = now_ns();
+    const int64_t c0 = thread_cpu_ns();
     const uint8_t* b = h->data();
     size_t n = h->size();
     if (co + 18 > n) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "offset past EOF"; } return -1; }
@@ -368,7 +402,7 @@ struct VStream {
     if (!bsize) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "missing BC subfield"; } return -1; }
     uint32_t isize;
     memcpy(&isize, b + co + bsize - 4, 4);
-    auto nb = std::make_shared<std::vector<uint8_t>>(isize);
+    auto nb = std::make_shared<BlockVec>(isize);
 #ifdef USE_LIBDEFLATE
     if (isize) {
       if (!ld) ld = libdeflate_alloc_decompressor();
@@ -402,6 +436,8 @@ struct VStream {
     ub_coffset = co;
     ub_next = co + bsize;
     g_perf_inflate_ns.fetch_add(now_ns() - t0, std::memory_order_relaxed);
+    g_perf_inflate_cpu_ns.fetch_add(thread_cpu_ns() - c0,
+                                    std::memory_order_relaxed);
     g_perf_blocks.fetch_add(1, std::memory_order_relaxed);
     g_perf_inflate_bytes.fetch_add((int64_t)isize, std::memory_order_relaxed);
     return 0;
@@ -1487,7 +1523,7 @@ static bool chunk_worker(const ChunkTask* T, int64_t q_begin, int64_t q_end,
           int32_t block_size = 0;
           const uint8_t* rp = nullptr;
           {
-            const std::vector<uint8_t>& blk = vs.ub();
+            const BlockVec& blk = vs.ub();
             const size_t avail = blk.size() - vs.uoffset;
             if (avail >= 4) {
               memcpy(&block_size, blk.data() + vs.uoffset, 4);
@@ -2085,15 +2121,16 @@ void svt_set_names(void* vh, const char* const* ref_names, int32_t n_ref,
   h->n_rg_cached = n_rg;
 }
 
-// Drain the process-wide perf counters into out[5] =
-// {inflate_ns, blocks_inflated, worker_ns, cache_hits, inflate_bytes}
-// and reset them.
+// Drain the process-wide perf counters into out[6] =
+// {inflate_ns, blocks_inflated, worker_ns, cache_hits, inflate_bytes,
+//  inflate_cpu_ns} and reset them.
 void svt_perf(int64_t* out) {
   out[0] = g_perf_inflate_ns.exchange(0, std::memory_order_relaxed);
   out[1] = g_perf_blocks.exchange(0, std::memory_order_relaxed);
   out[2] = g_perf_worker_ns.exchange(0, std::memory_order_relaxed);
   out[3] = g_perf_cache_hits.exchange(0, std::memory_order_relaxed);
   out[4] = g_perf_inflate_bytes.exchange(0, std::memory_order_relaxed);
+  out[5] = g_perf_inflate_cpu_ns.exchange(0, std::memory_order_relaxed);
 }
 
 // ABI contract between this library and bamio/native.py: bump whenever
@@ -2103,7 +2140,7 @@ void svt_perf(int64_t* out) {
 // one with a CHANGED signature would otherwise bind cleanly and be
 // called with the new argtypes — silent memory corruption; advisor
 // finding, r4).
-int32_t svt_abi_version(void) { return 6; }
+int32_t svt_abi_version(void) { return 8; }
 
 // Single-thread BGZF inflate roofline: re-inflate the first
 // max_blocks BGZF blocks of the handle's file in a tight loop,
@@ -2111,7 +2148,16 @@ int32_t svt_abi_version(void) { return 6; }
 // consumed in *compressed_out, wall-ns in *ns_out), or -1. Used by
 // bench.py to report achieved-vs-roofline inflate bandwidth on the
 // measurement host (VERDICT r4 item 2).
+//
+// retain=0: one hot reused output buffer — the absolute peak, but
+// unattainable by a cache that KEEPS blocks (no first-touch page
+// cost). retain=1: every block gets a fresh allocation that stays
+// live, the block cache's true allocation pattern — the fair roofline
+// for the cold pass (measured 3.1 vs 0.78 GB/s on the bench host:
+// the kernel page-fault/zeroing tax of growing a resident set
+// dominates, and THP/madvise made it far worse, not better).
 int64_t svt_inflate_roofline(void* handle, int64_t max_blocks,
+                             int32_t retain,
                              int64_t* compressed_out, int64_t* ns_out) {
   SvtBam* h = (SvtBam*)handle;
   if (!h || !h->data()) return -1;
@@ -2119,6 +2165,7 @@ int64_t svt_inflate_roofline(void* handle, int64_t max_blocks,
   const size_t fsize = h->size();
   int64_t inflated = 0, compressed = 0, blocks = 0;
   std::vector<uint8_t> out;
+  std::vector<std::shared_ptr<BlockVec>> kept;
 #ifdef USE_LIBDEFLATE
   struct libdeflate_decompressor* ld = libdeflate_alloc_decompressor();
 #endif
@@ -2145,12 +2192,19 @@ int64_t svt_inflate_roofline(void* handle, int64_t max_blocks,
     uint32_t isize;
     memcpy(&isize, b + co + bsize - 4, 4);
     if (isize) {
-      if (out.size() < isize) out.resize(isize);
+      uint8_t* dst;
+      if (retain) {
+        kept.push_back(std::make_shared<BlockVec>(isize));
+        dst = (uint8_t*)kept.back()->data();
+      } else {
+        if (out.size() < isize) out.resize(isize);
+        dst = out.data();
+      }
       bool ok = false;
 #ifdef USE_LIBDEFLATE
       size_t actual = 0;
       ok = libdeflate_deflate_decompress(ld, b + xend, co + bsize - 8 - xend,
-                                         out.data(), isize, &actual) ==
+                                         dst, isize, &actual) ==
                LIBDEFLATE_SUCCESS &&
            actual == isize;
 #else
@@ -2159,7 +2213,7 @@ int64_t svt_inflate_roofline(void* handle, int64_t max_blocks,
       if (inflateInit2(&zs, -15) == Z_OK) {
         zs.next_in = const_cast<uint8_t*>(b) + xend;
         zs.avail_in = (uInt)(co + bsize - 8 - xend);
-        zs.next_out = out.data();
+        zs.next_out = dst;
         zs.avail_out = isize;
         ok = inflate(&zs, Z_FINISH) == Z_STREAM_END;
         inflateEnd(&zs);

@@ -29,7 +29,7 @@ _load_failed = False
 # called with the new argtypes (silent memory corruption) — the version
 # check refuses it and drops to pure Python instead (advisor, r4).
 # Bump IN LOCKSTEP with bamcore.cpp whenever any signature changes.
-_ABI_EXPECTED = 6
+_ABI_EXPECTED = 8
 
 
 class _Cols(C.Structure):
@@ -300,7 +300,7 @@ def _bind_extended(lib) -> None:
     try:
             lib.svt_inflate_roofline.restype = C.c_int64
             lib.svt_inflate_roofline.argtypes = [
-                C.c_void_p, C.c_int64,
+                C.c_void_p, C.c_int64, C.c_int32,
                 C.POINTER(C.c_int64), C.POINTER(C.c_int64),
             ]
     except AttributeError:
@@ -314,8 +314,8 @@ def perf_counters() -> dict:
     lib = get_lib()
     if lib is None:
         return {"inflate_s": 0.0, "blocks": 0, "worker_s": 0.0,
-                "cache_hits": 0, "inflate_bytes": 0}
-    out = (C.c_int64 * 5)()
+                "cache_hits": 0, "inflate_bytes": 0, "inflate_cpu_s": 0.0}
+    out = (C.c_int64 * 6)()
     lib.svt_perf(out)
     return {
         "inflate_s": out[0] / 1e9,
@@ -323,6 +323,7 @@ def perf_counters() -> dict:
         "worker_s": out[2] / 1e9,
         "cache_hits": int(out[3]),
         "inflate_bytes": int(out[4]),
+        "inflate_cpu_s": out[5] / 1e9,
     }
 
 
@@ -863,17 +864,23 @@ class NativeBam:
             )
         return tid, pos, end, flag, vo
 
-    def inflate_roofline(self, max_blocks: int = -1) -> Optional[dict]:
+    def inflate_roofline(
+        self, max_blocks: int = -1, retain: bool = False
+    ) -> Optional[dict]:
         """Single-thread bare-inflate bandwidth over this file's BGZF
         blocks (cache bypassed): the host's inflate speed-of-light for
-        the cold-path bound (bench.py reports achieved/roofline)."""
+        the cold-path bound (bench.py reports achieved/roofline).
+        ``retain=True`` keeps every inflated block live — the block
+        cache's true allocation pattern, i.e. the FAIR roofline
+        including the kernel's first-touch page tax."""
         if not hasattr(self._lib, "svt_inflate_roofline"):
             return None
         comp = C.c_int64(0)
         ns = C.c_int64(0)
         inflated = int(
             self._lib.svt_inflate_roofline(
-                self._h, max_blocks, C.byref(comp), C.byref(ns)
+                self._h, max_blocks, 1 if retain else 0,
+                C.byref(comp), C.byref(ns)
             )
         )
         if inflated < 0:
