@@ -425,8 +425,12 @@ def _measure():
     roofline = roofline_ret = None
     nat = getattr(sample.bam, "_get_native", lambda: None)()
     if nat is not None:
-        roofline = nat.inflate_roofline()
-        roofline_ret = nat.inflate_roofline(retain=True)
+        # bounded block counts: the retain run holds its blocks live,
+        # and an unbounded sweep on top of the engine's already-warm
+        # 1.5 GB cache pushed the host into memory pressure (one run
+        # measured 0.19 GB/s retain — paging, not inflate)
+        roofline = nat.inflate_roofline(max_blocks=8000)
+        roofline_ret = nat.inflate_roofline(max_blocks=4000, retain=True)
     cold_inflate_bps = (
         cold_perf["inflate_bytes"] / cold_perf["inflate_s"]
         if cold_perf["inflate_s"] > 0 else 0.0
