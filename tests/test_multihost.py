@@ -43,7 +43,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_cli(bam, vcf, out, extra_env=None, timeout=240):
+def _run_cli(bam, vcf, out, extra_env=None, timeout=240, extra_args=()):
     env = dict(os.environ)
     env.pop("SVT_DIST_COORD", None)
     env.pop("SVT_DIST_NPROCS", None)
@@ -56,7 +56,7 @@ def _run_cli(bam, vcf, out, extra_env=None, timeout=240):
         env.update(extra_env)
     return subprocess.Popen(
         [sys.executable, "-m", "svtyper_tpu.cli.classic",
-         "-i", vcf, "-B", bam, "-o", out, "-n", "20000"],
+         "-i", vcf, "-B", bam, "-o", out, "-n", "20000", *extra_args],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
     )
 
@@ -98,3 +98,43 @@ def test_multiprocess_byte_identical(fixture, n_procs, tmp_path):
     # non-zero hosts write nothing
     for o in outs[1:]:
         assert os.path.getsize(o) == 0
+
+
+def test_multiround_uneven_gather_byte_identical(fixture, tmp_path):
+    """batch_size 5 over 11 variants and 2 hosts → slices [0,6)/[6,11)
+    → 2 gather rounds on host 0 vs 1 on host 1: the shorter host must
+    keep participating with empty arrays, host 0's phase-2 row reader
+    must stitch rows across (host, round) file boundaries (emission
+    chunk 1 = vars 5-9 straddles the host boundary), and the output
+    must stay byte-identical to the single-process run."""
+    bam, vcf, _ = fixture
+    args = ("--batch_size", "5")
+    single_out = str(tmp_path / "single5.vcf")
+    p = _run_cli(bam, vcf, single_out, extra_args=args)
+    _, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    port = _free_port()
+    outs = [str(tmp_path / ("mr_%d.vcf" % i)) for i in range(2)]
+    procs = [
+        _run_cli(
+            bam, vcf, outs[i], extra_args=args,
+            extra_env={
+                "SVT_DIST_COORD": "127.0.0.1:%d" % port,
+                "SVT_DIST_NPROCS": "2",
+                "SVT_DIST_PROCID": str(i),
+            },
+        )
+        for i in range(2)
+    ]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        errs.append(err.decode()[-2000:])
+    assert all(p.returncode == 0 for p in procs), errs
+    with open(single_out, "rb") as fh:
+        want = fh.read()
+    with open(outs[0], "rb") as fh:
+        got = fh.read()
+    assert want and got == want
+    assert os.path.getsize(outs[1]) == 0
