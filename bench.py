@@ -94,6 +94,27 @@ def build_fixture():
     return bam, vcf
 
 
+def tile_vcf(src: str, dst: str, n: int, prefix: str) -> None:
+    """Tile a fixture VCF's body to n records with unique ids (same
+    loci) — shared by the bench CLI row and scripts/soak_1m.py --cli
+    so the two stay in sync (review, r5)."""
+    with open(src) as fh:
+        lines = fh.read().splitlines()
+    header = [l for l in lines if l.startswith("#")]
+    body = [l for l in lines if not l.startswith("#")]
+    with open(dst + ".tmp", "w") as out:
+        out.write("\n".join(header) + "\n")
+        i = 0
+        while i < n:
+            for l in body:
+                if i >= n:
+                    break
+                c = l.split("\t", 3)
+                out.write("%s\t%s\t%s%d\t%s\n" % (c[0], c[1], prefix, i, c[3]))
+                i += 1
+    os.replace(dst + ".tmp", dst)
+
+
 def build_bnd_fixture():
     """Breakend fixture (VERDICT r4 item 3): interchromosomal BND mate
     PAIRS mixed with DELs, emitted in the LUMPY two-record MATEID form
@@ -204,10 +225,10 @@ def main():
     if os.environ.get("SVT_BENCH_CHILD") == "1":
         return _measure()
     attempts = int(os.environ.get("SVT_BENCH_RETRIES", "4"))
-    # 240s covered a cached-compile run, but a wedged axon remote-compile
-    # leg can hold a FIRST compile 5+ min and then recover (observed
-    # r3); give each attempt headroom instead of burning all retries
-    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "420"))
+    # A wedged axon remote-compile leg can hold a FIRST compile 5+ min
+    # and then recover (observed r3); the r5 child also runs the BND,
+    # 2-sample and CLI rows, so each attempt needs real headroom
+    timeout_s = int(os.environ.get("SVT_BENCH_TIMEOUT", "900"))
     env = dict(os.environ, SVT_BENCH_CHILD="1")
 
     def relay_ok() -> bool:
@@ -569,21 +590,7 @@ def _measure():
     cli_n = int(os.environ.get("SVT_BENCH_CLI_VARIANTS", "96000"))
     cli_vcf = os.path.join(CACHE, "cli_tiled_%d.vcf" % cli_n)
     if not os.path.exists(cli_vcf):
-        with open(vcf_path) as fh:
-            _lines = fh.read().splitlines()
-        _header = [l for l in _lines if l.startswith("#")]
-        _body = [l for l in _lines if not l.startswith("#")]
-        with open(cli_vcf + ".tmp", "w") as out:
-            out.write("\n".join(_header) + "\n")
-            i = 0
-            while i < cli_n:
-                for l in _body:
-                    if i >= cli_n:
-                        break
-                    c = l.split("\t", 3)
-                    out.write("%s\t%s\tcli%d\t%s\n" % (c[0], c[1], i, c[3]))
-                    i += 1
-        os.replace(cli_vcf + ".tmp", cli_vcf)
+        tile_vcf(vcf_path, cli_vcf, cli_n, "cli")
     cli_stats = None
     lib_json = os.path.join(CACHE, "bench_libinfo.json")
     stats_path = os.path.join(CACHE, "cli_stats.json")
@@ -612,10 +619,16 @@ def _measure():
     for attempt in range(2):
         if os.path.exists(stats_path):
             os.unlink(stats_path)
+        # each attempt gets at most a quarter of the parent's child
+        # budget, so two attempts + the engine rows still fit inside
+        # one SVT_BENCH_TIMEOUT window (review, r5: a 420s inner
+        # timeout inside a 420s child budget meant one wedged CLI run
+        # killed the whole measurement attempt)
+        budget = int(os.environ.get("SVT_BENCH_TIMEOUT", "900"))
         try:
             r = subprocess.run(
-                cli_cmd, env=cli_env, timeout=420, capture_output=True,
-                text=True,
+                cli_cmd, env=cli_env, timeout=max(120, budget // 4),
+                capture_output=True, text=True,
             )
         except subprocess.TimeoutExpired:
             sys.stderr.write("CLI row: run %d timed out (tunnel?)\n"

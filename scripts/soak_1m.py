@@ -58,23 +58,8 @@ def main_cli() -> int:
         # tile the fixture body to N records with unique ids (loci
         # repeat: the soak targets CLI memory behavior and sustained
         # throughput; cold I/O is bench.py's cold pass)
-        with open(vcf_path) as fh:
-            lines = fh.read().splitlines()
-        header = [l for l in lines if l.startswith("#")]
-        body = [l for l in lines if not l.startswith("#")]
         t0 = time.time()
-        with open(big_vcf + ".tmp", "w") as out:
-            out.write("\n".join(header) + "\n")
-            i = 0
-            while i < N:
-                for l in body:
-                    if i >= N:
-                        break
-                    cols = l.split("\t", 3)
-                    out.write("%s\t%s\tsoak%d\t%s\n"
-                              % (cols[0], cols[1], i, cols[3]))
-                    i += 1
-        os.replace(big_vcf + ".tmp", big_vcf)
+        bench.tile_vcf(vcf_path, big_vcf, N, "soak")
         sys.stderr.write("soak VCF built in %.0fs (%s)\n"
                          % (time.time() - t0, big_vcf))
 

@@ -387,6 +387,11 @@ struct VStream {
     uint16_t xlen;
     memcpy(&xlen, b + co + 10, 2);
     size_t xoff = co + 12, xend = xoff + xlen;
+    // bounds guards: a corrupt/truncated block (bit-flipped XLEN,
+    // SLEN or BSIZE; download cut mid-block) must produce a
+    // controlled error, not a read past the mmap (SIGBUS on the last
+    // page) — mirror of svt_inflate_roofline's guards (review, r5)
+    if (xend > n) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "truncated BGZF header"; } return -1; }
     size_t bsize = 0;
     while (xoff + 4 <= xend) {
       uint8_t si1 = b[xoff], si2 = b[xoff + 1];
@@ -400,6 +405,10 @@ struct VStream {
       xoff += 4 + slen;
     }
     if (!bsize) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "missing BC subfield"; } return -1; }
+    if (co + bsize > n || co + bsize < xend + 8) {
+      { std::lock_guard<std::mutex> g(g_err_mu); h->error = "corrupt BGZF BSIZE"; }
+      return -1;
+    }
     uint32_t isize;
     memcpy(&isize, b + co + bsize - 4, 4);
     auto nb = std::make_shared<BlockVec>(isize);
@@ -427,8 +436,13 @@ struct VStream {
       zs.next_out = nb->data();
       zs.avail_out = isize;
       int rc = inflate(&zs, Z_FINISH);
+      // total_out must equal ISIZE: with no-init block buffers a
+      // short-but-valid stream would otherwise leave uninitialized
+      // heap bytes for the record parser (review, r5; the libdeflate
+      // branch's actual != isize check is the twin)
+      bool ok = rc == Z_STREAM_END && zs.total_out == (uLong)isize;
       inflateEnd(&zs);
-      if (rc != Z_STREAM_END) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "inflate failed"; } return -1; }
+      if (!ok) { { std::lock_guard<std::mutex> g(g_err_mu); h->error = "inflate failed"; } return -1; }
     }
 #endif
     ubp = nb;
@@ -2215,7 +2229,8 @@ int64_t svt_inflate_roofline(void* handle, int64_t max_blocks,
         zs.avail_in = (uInt)(co + bsize - 8 - xend);
         zs.next_out = dst;
         zs.avail_out = isize;
-        ok = inflate(&zs, Z_FINISH) == Z_STREAM_END;
+        ok = inflate(&zs, Z_FINISH) == Z_STREAM_END &&
+             zs.total_out == (uLong)isize;
         inflateEnd(&zs);
       }
 #endif

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 import time
 from typing import IO, List, Optional
@@ -195,6 +196,13 @@ def sv_genotype(
         def run_chunk(bps):
             return engine.genotype_chunk(bps)
 
+    # the body start for get_body() re-streams must be the stream's
+    # CURRENT position, not byte 0 — a library caller may hand us a
+    # handle positioned past a prefix (review, r5)
+    try:
+        _body_origin = vcf_in.tell()
+    except (OSError, ValueError, AttributeError):
+        _body_origin = None
     header_lines, body = read_vcf_lines(vcf_in)
     vcf = Vcf()
     vcf.add_header(header_lines)
@@ -220,29 +228,32 @@ def sv_genotype(
     vcf_sha.update(b"--\n")
     bnd_lines: List[str] = []
     n_records = 0
-    try:
-        seekable = vcf_in.seekable()
-    except Exception:
-        seekable = False
-    if seekable:
-        for line in body:
+
+    def _prescan(lines):
+        # ONE loop shared by both branches: the hash scheme must stay
+        # byte-identical to checkpoint.build_manifest or manifests stop
+        # matching across code paths (review, r5)
+        nonlocal n_records
+        for line in lines:
             n_records += 1
             vcf_sha.update(line.encode())
             vcf_sha.update(b"\n")
             if "SVTYPE=BND" in line:
                 bnd_lines.append(line)
 
+    try:
+        seekable = _body_origin is not None and vcf_in.seekable()
+    except Exception:
+        seekable = False
+    if seekable:
+        _prescan(body)
+
         def get_body():
-            vcf_in.seek(0)
+            vcf_in.seek(_body_origin)
             return read_vcf_lines(vcf_in)[1]
     else:
         _buf = list(body)
-        n_records = len(_buf)
-        for line in _buf:
-            vcf_sha.update(line.encode())
-            vcf_sha.update(b"\n")
-            if "SVTYPE=BND" in line:
-                bnd_lines.append(line)
+        _prescan(_buf)
 
         def get_body():
             return iter(_buf)
@@ -363,7 +374,6 @@ def sv_genotype(
         # Host 0 spills each gathered round to disk and streams it back
         # in phase 2; hosts that run out of chunks keep participating
         # with empty arrays so the collective count matches everywhere.
-        import shutil
         import tempfile
 
         gather_dir = (
@@ -811,8 +821,6 @@ def sv_genotype(
     if writer_bams is not None:
         writer_bams.close()
     if n_procs > 1 and proc_id == 0:
-        import shutil
-
         shutil.rmtree(gather_dir, ignore_errors=True)
     if hasattr(engine, "close"):
         engine.close()  # release the multi-sample prep pool promptly

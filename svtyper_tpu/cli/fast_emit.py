@@ -123,12 +123,12 @@ def format_chunk_lines(
     n = len(vars_)
     nulls = []
     strs = []
-    quals = np.zeros(n, dtype=np.float64)
+    qual_adds = []
     for a in per_sample:
         nl, st, qa = _format_sample(a, n)
         nulls.append(nl)
         strs.append(st)
-        quals = quals + qa  # sample order = apply_variant's sum order
+        qual_adds.append(qa.tolist())
     any_nonnull = ~nulls[0] if nulls else np.zeros(n, bool)
     for nl in nulls[1:]:
         any_nonnull |= ~nl
@@ -153,7 +153,14 @@ def format_chunk_lines(
                 debug_rows.append((v, res_row))
             out.append(v.get_var_string() + "\n")
             continue
-        qual = (v.qual if sum_quals else 0.0) + quals[i]
+        # EXACT apply_variant order: start from the input QUAL (with
+        # -q) and add per-sample SQ left to right — float addition is
+        # non-associative, so pre-summing the samples and adding the
+        # base last could differ by an ulp and round "%.2f" differently
+        # (review, r5)
+        qual = v.qual if sum_quals else 0.0
+        for qa in qual_adds:
+            qual += qa[i]
         if any_nonnull[i]:
             fmt = FORMAT_COL
             samples = [

@@ -284,3 +284,29 @@ def test_write_alignment_fallback_is_announced(paths, capsys):
     _run(["-i", vcf, "-B", bam, "-o", out, "-n", "50000", "-w", wbam])
     err = capsys.readouterr().err
     assert "-w using the batched re-fetch path" not in err
+
+
+def test_library_entry_nonzero_stream_origin(paths, tmp_path):
+    """sv_genotype must honor the stream's CURRENT position, not
+    assume the VCF starts at byte 0 (review finding, r5): a caller may
+    hand it a handle positioned past a prefix. The streaming re-read
+    must restart at that position, not at 0."""
+    import io
+
+    from svtyper_tpu.cli.classic import sv_genotype
+
+    d, bam, vcf = paths
+    prefixed = str(d / "prefixed.vcf")
+    prefix = "JUNK-PREFIX-NOT-VCF\n" * 3
+    with open(prefixed, "w") as fh:
+        fh.write(prefix)
+        fh.write(open(vcf).read())
+    out = io.StringIO()
+    with open(prefixed) as fin:
+        fin.seek(len(prefix))
+        sv_genotype(bam, fin, out, num_samp=50000)
+    want = io.StringIO()
+    with open(vcf) as fin:
+        sv_genotype(bam, fin, want, num_samp=50000)
+    assert out.getvalue() == want.getvalue()
+    assert "JUNK" not in out.getvalue()

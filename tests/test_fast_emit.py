@@ -102,13 +102,30 @@ def test_fast_bnd_mate_pair_shares_genotype(paths):
 
 
 def test_fast_vs_object_sum_quals(paths):
+    """-q with NUMERIC input QUALs and two samples: apply_variant adds
+    sample SQs onto the input QUAL left to right; float addition is
+    non-associative, so the fast path must use the identical order
+    (review finding, r5 — pre-summing samples then adding the base
+    can differ by an ulp at the '%.2f' boundary)."""
     d, bam_a, bam_b, vcf = paths
+    vcf_q = str(d / "in_q.vcf")
+    with open(vcf_q, "w") as fh:
+        for i, ln in enumerate(_read(vcf).splitlines(keepends=True)):
+            if not ln.startswith("#"):
+                cols = ln.split("\t")
+                cols[5] = "%.2f" % (123.4567 + 77.77 * i)
+                ln = "\t".join(cols)
+            fh.write(ln)
     fast = str(d / "fast_q.vcf")
     slow = str(d / "slow_q.vcf")
-    args = ["-i", vcf, "-B", bam_a, "-n", "50000", "-q"]
+    args = ["-i", vcf_q, "-B", "%s,%s" % (bam_a, bam_b), "-n", "50000",
+            "-q"]
     _run(args + ["-o", fast])
     _run(args + ["-o", slow, "--debug"])
     assert _read(fast) == _read(slow)
+    # the QUALs really did aggregate on top of the input values
+    body = [l for l in _read(fast).splitlines() if not l.startswith("#")]
+    assert any(float(l.split("\t")[5]) > 200 for l in body)
 
 
 def test_preexisting_sample_values_merge(paths):
