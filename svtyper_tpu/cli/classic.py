@@ -29,6 +29,8 @@ def get_args(argv=None):
         prog="svtyper",
         description="Compute genotype of structural variants based on breakpoint depth (TPU-native)",
     )
+    p.add_argument("--version", action="version",
+                   version="%%(prog)s %s" % __version__)
     p.add_argument("-i", "--input_vcf", default=None,
                    help="VCF input (default: stdin)")
     p.add_argument("-o", "--output_vcf", default=None,

@@ -23,6 +23,10 @@ def get_args(argv=None):
         prog="svtyper-sso",
         description="Compute genotype of structural variants based on breakpoint depth (single sample, batched)",
     )
+    from svtyper_tpu.version import __version__
+
+    p.add_argument("--version", action="version",
+                   version="%%(prog)s %s" % __version__)
     p.add_argument("-i", "--input_vcf", default=None)
     p.add_argument("-o", "--output_vcf", default=None)
     p.add_argument("-B", "--bam", required=True)
