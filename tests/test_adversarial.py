@@ -7,6 +7,7 @@ fuzzed for native-vs-Python decoder equality, plus corrupt-stream error
 paths and multi-slice CRAM containers.
 """
 
+import os
 import struct
 import zlib
 
@@ -443,4 +444,59 @@ def test_bitflip_fuzz_sweep_bam(tmp_path):
                 n_err += 1
         bad.unlink()
     # the sweep must have exercised both outcomes
+    assert n_ok > 0 and n_err > 0, (n_ok, n_err)
+
+
+def test_bitflip_fuzz_sweep_cram(tmp_path):
+    """Bit-flip fuzz over a whole CRAM: the from-scratch reader's
+    itf8/encoding/codec layers must yield decode-or-controlled-error
+    for corrupt containers — never hang or crash. (CRC32s are not
+    verified on read, so many flips decode to garbage 'successfully';
+    that is acceptable, matching htslib's default read path.)"""
+    from svtyper_tpu.bamio.cram import CramFile
+    from svtyper_tpu.bamio.cram_writer import CramWriter
+
+    rng = np.random.default_rng(31)
+    recs = []
+    pos = 1_500
+    for i in range(40):
+        cigar = [(M, 50), (S, 3)]
+        feats = CigarFeatures(pos, cigar)
+        seq = "".join(rng.choice(list("ACGT"), feats.query_len))
+        recs.append(("cf%03d" % i, 0x1 | 0x40 | 0x8, 0, pos, 30, cigar,
+                     -1, -1, 0, seq, {"RG": ("Z", "rg1")}))
+        pos += int(rng.integers(30, 200))
+    path = str(tmp_path / "fz.cram")
+    w = CramWriter(path, REFS, HDR)
+    for qname, flag, tid, p, mapq, cigar, mtid, mpos, tlen, seq, tags \
+            in recs:
+        w.write(qname, flag, tid, p, mapq, cigar, mate_tid=mtid,
+                mate_pos=mpos, tlen=tlen, seq=seq, tags=tags)
+    w.close()
+    data = bytearray(open(path, "rb").read())
+    import bz2
+    import lzma
+
+    allowed = (ValueError, struct.error, zlib.error, OSError, EOFError,
+               IndexError, KeyError, MemoryError, OverflowError,
+               lzma.LZMAError, AssertionError, RecursionError)
+    n_err = n_ok = 0
+    for trial in range(48):
+        flip = bytearray(data)
+        k = int(rng.integers(0, len(flip)))
+        flip[k] ^= 1 << int(rng.integers(0, 8))
+        bad = tmp_path / ("flip_%d.cram" % trial)
+        bad.write_bytes(bytes(flip))
+        import shutil
+
+        if os.path.exists(path + ".crai"):
+            shutil.copy(path + ".crai", str(bad) + ".crai")
+        try:
+            cf = CramFile(str(bad))
+            got = cf.fetch("chr1", 0, 2_000_000)
+            assert 0 <= got.n <= 200
+            n_ok += 1
+        except allowed:
+            n_err += 1
+        bad.unlink()
     assert n_ok > 0 and n_err > 0, (n_ok, n_err)
