@@ -449,9 +449,17 @@ def _measure():
         # bounded block counts: the retain run holds its blocks live,
         # and an unbounded sweep on top of the engine's already-warm
         # 1.5 GB cache pushed the host into memory pressure (one run
-        # measured 0.19 GB/s retain — paging, not inflate)
-        roofline = nat.inflate_roofline(max_blocks=8000)
-        roofline_ret = nat.inflate_roofline(max_blocks=4000, retain=True)
+        # measured 0.19 GB/s retain — paging, not inflate). Best of 2:
+        # a roofline is a capability bound, so the max of two sweeps
+        # is the right statistic on a noisy shared host.
+        def _best(**kw):
+            runs = [nat.inflate_roofline(**kw) for _ in range(2)]
+            runs = [r for r in runs if r]
+            return max(runs, key=lambda r: r["bytes_per_s"]) \
+                if runs else None
+
+        roofline = _best(max_blocks=8000)
+        roofline_ret = _best(max_blocks=4000, retain=True)
     cold_inflate_bps = (
         cold_perf["inflate_bytes"] / cold_perf["inflate_s"]
         if cold_perf["inflate_s"] > 0 else 0.0
