@@ -216,3 +216,23 @@ def test_nondefault_format_order_falls_back(paths):
     assert genotyped
     # AB and GQ really do rank earlier now
     assert genotyped[0].split("\t")[8].startswith("GT:AB:GQ")
+
+
+def test_multisample_write_alignment(paths):
+    """-w with two samples: the engine-export arena path must engage
+    (both handles native), stream both samples' evidence rows, and the
+    output BAM must contain reads from both (sample columns untouched
+    — byte-identical VCF vs --debug)."""
+    from svtyper_tpu.bamio.bam import BamFile
+
+    d, bam_a, bam_b, vcf = paths
+    out = str(d / "out_msw.vcf")
+    slow = str(d / "slow_msw.vcf")
+    wbam = str(d / "evidence_ms.bam")
+    args = ["-i", vcf, "-B", "%s,%s" % (bam_a, bam_b), "-n", "50000"]
+    _run(args + ["-o", out, "-w", wbam])
+    _run(args + ["-o", slow, "--debug", "-w", str(d / "ev2.bam")])
+    assert _read(out) == _read(slow)
+    eb = BamFile(wbam)
+    got = eb.fetch("chr1", 990_000, 1_010_000)
+    assert got.n > 0
