@@ -22,3 +22,33 @@ A from-scratch re-design of the capabilities of ``hall-lab/svtyper``
 """
 
 from svtyper_tpu.version import __version__  # noqa: F401
+
+# Lazy top-level conveniences (PEP 562): the common library surface
+# without paying the jax import at package-import time.
+_LAZY = {
+    "TpuEngine": ("svtyper_tpu.gt", "TpuEngine"),
+    "OracleEngine": ("svtyper_tpu.oracle", "OracleEngine"),
+    "sv_genotype": ("svtyper_tpu.cli.classic", "sv_genotype"),
+    "open_bam": ("svtyper_tpu.bamio.bam", "open_bam"),
+    "Sample": ("svtyper_tpu.stats", "Sample"),
+    "Vcf": ("svtyper_tpu.vcfio.model", "Vcf"),
+    "Variant": ("svtyper_tpu.vcfio.model", "Variant"),
+    "resolve_breakpoint": ("svtyper_tpu.breakpoints", "resolve_breakpoint"),
+    "BndRegistry": ("svtyper_tpu.breakpoints", "BndRegistry"),
+}
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(
+            "module %r has no attribute %r" % (__name__, name)
+        ) from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
