@@ -513,11 +513,15 @@ def _measure():
             seen_events.add(v.var_id)
             run_bps.append(bp)
     bnd_engine.genotype_all(run_bps)  # warmup: compile + block cache
-    for k in bnd_engine.stats:
-        bnd_engine.stats[k] = 0
-    t0 = time.time()
-    bnd_rows = bnd_engine.genotype_all(run_bps)
-    dt_bnd = time.time() - t0
+    dt_bnd = None
+    for _ in range(2):  # best of 2: host-weather stability
+        for k in bnd_engine.stats:
+            bnd_engine.stats[k] = 0
+        t0 = time.time()
+        bnd_rows = bnd_engine.genotype_all(run_bps)
+        dt = time.time() - t0
+        if dt_bnd is None or dt < dt_bnd:
+            dt_bnd = dt
     bnd_vps = len(bnd_bps) / dt_bnd
     bnd_engine.close()
     # mate copy + concordance
@@ -561,11 +565,15 @@ def _measure():
     ms_vars = [Variant(line, vcf3) for line in body3]
     ms_bps = [resolve_breakpoint(v) for v in ms_vars]
     ms_engine.genotype_all(ms_bps)  # warmup: compile + block cache
-    for k in ms_engine.stats:
-        ms_engine.stats[k] = 0
-    t0 = time.time()
-    ms_rows = ms_engine.genotype_all(ms_bps)
-    dt_ms = time.time() - t0
+    dt_ms = None
+    for _ in range(2):  # best of 2: host-weather stability
+        for k in ms_engine.stats:
+            ms_engine.stats[k] = 0
+        t0 = time.time()
+        ms_rows = ms_engine.genotype_all(ms_bps)
+        dt = time.time() - t0
+        if dt_ms is None or dt < dt_ms:
+            dt_ms = dt
     ms_vps = len(ms_bps) / dt_ms
     ms_engine.close()
     ms_ok = ms_n = 0
