@@ -194,6 +194,19 @@ def sv_genotype(
             max_ci_dist=max_ci_dist, chunk_size=batch_size,
             prep_workers=cores,
         )
+        if engine.chunk_size != batch_size:
+            # multi-device engines round the chunk size up to a device
+            # multiple; aligning the CLI's chunking to it keeps plan
+            # chunks 1:1 with engine chunks, so the vectorized emission
+            # and the -w engine-export arena stay engaged on sharded
+            # runs (the effective value is what the checkpoint manifest
+            # records — a resume under a different device count would
+            # otherwise replay mismatched chunk boundaries)
+            sys.stderr.write(
+                "note: batch size %d rounded to %d (device multiple)\n"
+                % (batch_size, engine.chunk_size)
+            )
+            batch_size = engine.chunk_size
 
         def run_chunk(bps):
             return engine.genotype_chunk(bps)

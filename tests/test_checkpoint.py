@@ -78,10 +78,13 @@ def test_manifest_refuses_flag_change(paths, tmp_path):
                       "-o", str(tmp_path / "b.vcf"), "-n", "20000",
                       "--checkpoint_dir", ck, "--batch_size", "4",
                       "-m", "25"])
+    # the manifest records the EFFECTIVE batch size (rounded to a
+    # device multiple — r5), so the changed value must differ after
+    # rounding on the 8-virtual-device test mesh: 4 → 8 but 16 → 16
     with pytest.raises(ValueError, match="batch_size"):
         classic_main(["-i", vcf, "-B", bam,
                       "-o", str(tmp_path / "c.vcf"), "-n", "20000",
-                      "--checkpoint_dir", ck, "--batch_size", "5"])
+                      "--checkpoint_dir", ck, "--batch_size", "16"])
 
 
 def test_singlehost_crash_resume(paths, tmp_path):

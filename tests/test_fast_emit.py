@@ -236,3 +236,22 @@ def test_multisample_write_alignment(paths):
     eb = BamFile(wbam)
     got = eb.fetch("chr1", 990_000, 1_010_000)
     assert got.n > 0
+
+
+def test_odd_batch_size_rounds_to_device_multiple(paths, capsys):
+    """A batch size that is not a device multiple gets rounded to the
+    sharded engine's chunk size (announced), keeping plan chunks 1:1
+    with engine chunks — the fast emission and -w arena paths stay
+    engaged on multi-device runs, and output stays byte-identical."""
+    d, bam_a, _bam_b, vcf = paths
+    fast = str(d / "fast_odd.vcf")
+    slow = str(d / "slow_odd.vcf")
+    args = ["-i", vcf, "-B", bam_a, "-n", "50000", "--batch_size", "1001"]
+    _run(args + ["-o", fast])
+    err = capsys.readouterr().err
+    _run(args + ["-o", slow, "--debug"])
+    assert _read(fast) == _read(slow)
+    import jax
+
+    if len(jax.local_devices()) > 1:
+        assert "rounded to" in err
