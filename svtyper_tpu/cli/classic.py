@@ -881,7 +881,18 @@ def sv_genotype(
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    vcf_in = open(args.input_vcf) if args.input_vcf else sys.stdin
+    if args.input_vcf:
+        # .vcf.gz inputs (LUMPY outputs are often bgzip-compressed in
+        # pipelines): gzip.open handles plain gzip AND bgzip members;
+        # the streaming re-read path rewinds it like any seekable file
+        if args.input_vcf.endswith(".gz"):
+            import gzip
+
+            vcf_in = gzip.open(args.input_vcf, "rt")
+        else:
+            vcf_in = open(args.input_vcf)
+    else:
+        vcf_in = sys.stdin
     vcf_out = open(args.output_vcf, "w") if args.output_vcf else sys.stdout
     profile_ctx = None
     if args.profile:

@@ -310,3 +310,19 @@ def test_library_entry_nonzero_stream_origin(paths, tmp_path):
         sv_genotype(bam, fin, want, num_samp=50000)
     assert out.getvalue() == want.getvalue()
     assert "JUNK" not in out.getvalue()
+
+
+def test_gzipped_vcf_input(paths, tmp_path):
+    """-i accepting .vcf.gz (bgzip/gzip): output must be byte-identical
+    to the plain-text run, through the streaming re-read path."""
+    import gzip
+
+    d, bam, vcf = paths
+    gz = str(tmp_path / "in.vcf.gz")
+    with open(vcf, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    out_gz = str(tmp_path / "out_gz.vcf")
+    out_plain = str(tmp_path / "out_plain.vcf")
+    _run(["-i", gz, "-B", bam, "-o", out_gz, "-n", "50000"])
+    _run(["-i", vcf, "-B", bam, "-o", out_plain, "-n", "50000"])
+    assert open(out_gz).read() == open(out_plain).read()
