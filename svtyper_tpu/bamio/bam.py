@@ -638,14 +638,16 @@ def _apply_filter_py(batch: ReadBatch, rid: np.ndarray, filt):
     return out, rid
 
 
-def open_bam(path: str, threads: Optional[int] = None):
+def open_bam(path: str, threads: Optional[int] = None,
+             ref_fasta: Optional[str] = None):
     """Open an alignment file by magic: BAM (BGZF) or CRAM. CRAM needs
-    no reference FASTA here — the evidence model never reads bases
-    (bamio/cram.py), so the reference's ``-T`` is accepted but unused."""
+    no reference FASTA for GENOTYPING (the evidence model never reads
+    bases — bamio/cram.py); providing ``-T`` additionally enables full
+    SEQ/QUAL reconstruction in ``-w`` evidence output."""
     with open(path, "rb") as fh:
         magic = fh.read(4)
     if magic == b"CRAM":
         from svtyper_tpu.bamio.cram import CramFile
 
-        return CramFile(path, threads=threads)
+        return CramFile(path, threads=threads, ref_fasta=ref_fasta)
     return BamFile(path, threads=threads)

@@ -660,20 +660,27 @@ class _SliceDecoder:
                     feats.append((code, p, val))
                 cig_ops = _features_to_cigar(feats, rl)
                 mapq = self.dec(b"MQ").read_int()
-                if cf & 0x1:  # per-base qualities stored
-                    self.dec(b"QS").read_bytes(rl)
+                qual = (self.dec(b"QS").read_bytes(rl)
+                        if cf & 0x1 else None)
+                bases = None
             else:
+                feats = []
+                bases = None
                 if not (cf & 0x8):
                     ba = self.dec(b"BA")
-                    for _b in range(rl):
-                        ba.read_byte()
-                if cf & 0x1:
-                    self.dec(b"QS").read_bytes(rl)
+                    bases = bytes(ba.read_byte() for _b in range(rl))
+                qual = (self.dec(b"QS").read_bytes(rl)
+                        if cf & 0x1 else None)
             recs.append({
                 "bf": bf, "cf": cf, "ref_id": ref_id, "pos": ap - 1,
                 "rl": rl, "rg": rg, "qname": qname, "mf": mf,
                 "mate_ref": mate_ref, "mate_pos": mate_pos, "tlen": tlen,
                 "nf": nf, "tags": tags, "cigar": cig_ops, "mapq": mapq,
+                # SEQ reconstruction inputs (raw_records with a -T
+                # FASTA): the feature list, stored qualities, and
+                # literal unmapped bases
+                "feats": feats, "qual": qual, "bases": bases,
+                "sm": comp.sub_matrix,
             })
         _link_mates(recs)
         return recs
@@ -755,12 +762,21 @@ class CramFile:
     """
 
     def __init__(self, path: str, use_native: Optional[bool] = None,
-                 threads: Optional[int] = None) -> None:
+                 threads: Optional[int] = None,
+                 ref_fasta: Optional[str] = None) -> None:
         from svtyper_tpu.bamio.bam import BamHeader
 
         import mmap
 
         self.path = path
+        # reference FASTA (-T): enables full SEQ/QUAL in raw_records
+        # (-w) via feature + substitution-matrix reconstruction;
+        # genotyping itself never reads bases so this stays optional
+        self._fasta = None
+        if ref_fasta:
+            from svtyper_tpu.bamio.fasta import FastaFile
+
+            self._fasta = FastaFile(ref_fasta)
         # mmap, not read(): real CRAMs are multi-GB and fetch() touches
         # only the indexed containers; the OS pages in what's used
         self._fh = open(path, "rb")
@@ -1031,15 +1047,98 @@ class CramFile:
             else:
                 recs = list(self._iter_container_records(off))
                 self._raw_cache = (off, recs)
+            ref_names = [name for name, _l in self.header.refs]
             for ordi, slot in wants:
-                out[slot] = _rec_to_bam_bytes(recs[ordi])
+                out[slot] = _rec_to_bam_bytes(
+                    recs[ordi], self._fasta, ref_names
+                )
         return out
 
 
-def _rec_to_bam_bytes(r: dict) -> bytes:
-    """Encode one decoded CRAM record as a seq-less BAM record body
-    (no leading block_size; see :meth:`CramFile.raw_records`)."""
+_SUB_BASES = b"ACGTN"
+_NIB = b"=ACMGRSVTWYHKDBN"
+_NIB_OF = {b: i for i, b in enumerate(_NIB)}
+
+
+def _decode_sub(ref_base: int, code: int, sm: bytes) -> int:
+    """CRAM 3.0 substitution matrix: for reference base r (ACGTN row),
+    the matrix byte packs 2-bit codes for the four alternative bases in
+    ACGTN order; the stored feature value is the code (spec §10.5)."""
+    ri = _SUB_BASES.find(ref_base)
+    if ri < 0:
+        ri = 4  # non-ACGTN reference bases use the N row
+    byte = sm[ri]
+    alts = [b for j, b in enumerate(_SUB_BASES) if j != ri]
+    for j, alt in enumerate(alts):
+        if (byte >> (6 - 2 * j)) & 3 == code:
+            return alt
+    return ord("N")
+
+
+def _reconstruct_seq(r: dict, fasta, ref_name: str) -> Optional[bytes]:
+    """Rebuild a mapped record's SEQ from its features + the reference
+    (the delta encoding htslib applies; our reader only needs it for
+    ``raw_records``/-w). Returns None when the file says no sequence
+    was stored in reconstructable form (CF 0x8: legacy non-reference
+    writes — M-run mismatches were never recorded)."""
+    if r["cf"] & 0x8:
+        return None
+    rl = r["rl"]
+    ref_span = rl + sum(
+        ln for op, ln in r["cigar"] if op in (OP_D, OP_N)
+    )
+    ref = fasta.fetch(ref_name, r["pos"], r["pos"] + ref_span)
+    seq = bytearray(rl)
+    rp = 0  # read cursor (0-based)
+    rf = 0  # reference cursor (relative)
+    for code, p, val in r["feats"]:
+        gap = (p - 1) - rp
+        if gap > 0:  # implicit match run
+            seq[rp : rp + gap] = ref[rf : rf + gap]
+            rp += gap
+            rf += gap
+        if code in (ord("S"), ord("I")):
+            seq[rp : rp + len(val)] = val
+            rp += len(val)
+        elif code == ord("b"):  # verbatim bases, consume reference too
+            seq[rp : rp + len(val)] = val
+            rp += len(val)
+            rf += len(val)
+        elif code == ord("i"):
+            seq[rp] = val
+            rp += 1
+        elif code == ord("X"):
+            seq[rp] = _decode_sub(ref[rf], val, r["sm"])
+            rp += 1
+            rf += 1
+        elif code == ord("B"):
+            seq[rp] = val[0]
+            rp += 1
+            rf += 1
+        elif code in (ord("D"), ord("N")):
+            rf += val
+        # H/P/Q/q: no read bases, no reference bases
+    if rp < rl:  # trailing match run
+        seq[rp:] = ref[rf : rf + (rl - rp)]
+    return bytes(seq)
+
+
+def _rec_to_bam_bytes(r: dict, fasta=None, ref_names=None) -> bytes:
+    """Encode one decoded CRAM record as a BAM record body (no leading
+    block_size; see :meth:`CramFile.raw_records`). With a reference
+    FASTA, mapped records regain full SEQ (features + substitution
+    matrix) and stored QUAL; without one (or for legacy CF-0x8 files)
+    the record is seq-less (BAM '*' form)."""
     from svtyper_tpu.bamio.writer import _reg2bin_for
+
+    seq = None
+    if not (r["bf"] & FUNMAP):
+        if fasta is not None and ref_names and 0 <= r["ref_id"] < len(
+            ref_names
+        ):
+            seq = _reconstruct_seq(r, fasta, ref_names[r["ref_id"]])
+    elif r.get("bases"):
+        seq = r["bases"]
 
     name = (r["qname"] or b"*") + b"\x00"
     if len(name) > 255:
@@ -1056,11 +1155,19 @@ def _rec_to_bam_bytes(r: dict) -> bytes:
     body += struct.pack(
         "<iiBBHHHIiii",
         r["ref_id"], pos, len(name), r["mapq"], bin_, len(cigar),
-        r["bf"] & 0xFFFF, 0, r["mate_ref"], r["mate_pos"], r["tlen"],
+        r["bf"] & 0xFFFF, len(seq) if seq is not None else 0,
+        r["mate_ref"], r["mate_pos"], r["tlen"],
     )
     body += name
     for op, ln in cigar:
         body += struct.pack("<I", (ln << 4) | op)
+    if seq is not None:
+        nib = bytearray((len(seq) + 1) // 2)
+        for i, b in enumerate(seq):
+            c = _NIB_OF.get(b, 15)
+            nib[i >> 1] |= c << (4 if i % 2 == 0 else 0)
+        body += bytes(nib)
+        body += r["qual"] if r.get("qual") else b"\xff" * len(seq)
     for key, val in r["tags"].items():
         body += key  # 2-byte tag + 1-byte type, BAM form
         body += val

@@ -55,7 +55,29 @@ _IDS = {
 }
 _ID_RN, _ID_FC = 6, 13
 _ID_SC_VAL, _ID_SC_LEN, _ID_IN_VAL, _ID_IN_LEN = 16, 17, 18, 19
+_ID_BS, _ID_QS = 24, 25
+_ID_BB_LEN, _ID_BB_VAL = 26, 27
 _ID_TAG_BASE = 32
+
+# CRAM 3.0 substitution matrix (spec §10.5): one byte per reference
+# base (ACGTN rows), 2-bit codes for the four alternatives in ACGTN
+# order. 0x1B = codes 0,1,2,3 in order — htslib's default shape.
+_DEFAULT_SM = bytes([0x1B] * 5)
+_SUB_BASES = b"ACGTN"
+
+
+def _sub_code(ref_b: int, alt_b: int):
+    """Substitution code for alt given ref under _DEFAULT_SM, or None
+    when alt is not representable (non-ACGTN read base)."""
+    ri = _SUB_BASES.find(ref_b)
+    if ri < 0:
+        ri = 4
+    alts = [b for j, b in enumerate(_SUB_BASES) if j != ri]
+    try:
+        j = alts.index(alt_b)
+    except ValueError:
+        return None
+    return (_DEFAULT_SM[ri] >> (6 - 2 * j)) & 3
 _RANS_SERIES = {b"BF", b"CF", b"FN"}  # exercise the rANS codec in-file
 
 _X_OPS = {OP_M, 7, 8}  # M/=/X are implicit matches
@@ -86,13 +108,34 @@ def _enc_byte_array_len(out: bytearray, len_id: int, val_id: int) -> None:
     out.extend(p)
 
 
-def _cigar_to_features(cigar, seq: str):
-    """(code, read_pos_1based, payload) features for one alignment."""
+def _cigar_to_features(cigar, seq: str, ref: bytes = None):
+    """(code, read_pos_1based, payload) features for one alignment.
+
+    With ``ref`` (reference bases starting at the record's POS), M-run
+    mismatches are recorded as substitution features ('X', code vs the
+    default matrix; non-ACGTN read bases fall back to a verbatim 'b'
+    run) — the reference-based form whose SEQ a reader with the FASTA
+    can reconstruct exactly."""
     feats = []
     rpos = 1
+    rf = 0  # reference cursor (only meaningful when ref is given)
+    sb = seq.encode() if isinstance(seq, str) else (seq or b"")
     for op, ln in cigar:
         if op in _X_OPS:
+            if ref is not None and sb:
+                for k in range(ln):
+                    rb = ref[rf + k] if rf + k < len(ref) else ord("N")
+                    ab = sb[rpos - 1 + k] if rpos - 1 + k < len(sb)                         else ord("N")
+                    if ab == rb:
+                        continue
+                    code = _sub_code(rb, ab)
+                    if code is None:
+                        feats.append((ord("b"), rpos + k, bytes([ab])))
+                    else:
+                        feats.append((ord("X"), rpos + k, code))
+            rf += ln
             rpos += ln
+            continue
         elif op == OP_S:
             bases = seq[rpos - 1 : rpos - 1 + ln] if seq else ""
             feats.append((ord("S"), rpos, (bases or "N" * ln).encode()))
@@ -103,8 +146,10 @@ def _cigar_to_features(cigar, seq: str):
             rpos += ln
         elif op == OP_D:
             feats.append((ord("D"), rpos, ln))
+            rf += ln
         elif op == OP_N:
             feats.append((ord("N"), rpos, ln))
+            rf += ln
         elif op == OP_H:
             feats.append((ord("H"), rpos, ln))
         elif op == OP_P:
@@ -124,9 +169,18 @@ class CramWriter:
     def __init__(self, path: str, refs: Sequence[Tuple[str, int]],
                  header_text: str = "", records_per_slice: int = 4096,
                  slices_per_container: int = 1,
+                 ref_fasta: str = None,
                  ) -> None:
         self.path = path
         self.refs = list(refs)
+        # reference-based mode: M-run mismatches become substitution
+        # features and quals are stored, so a reader with the same
+        # FASTA reconstructs full SEQ/QUAL (CRAM 3.0 §10.5)
+        self._fasta = None
+        if ref_fasta:
+            from svtyper_tpu.bamio.fasta import FastaFile
+
+            self._fasta = FastaFile(ref_fasta)
         self._fh = open(path, "wb")
         self._fh.write(CRAM_MAGIC + bytes([3, 0]) + b"svtyper_tpu".ljust(20, b"\x00"))
         # file-header container: one gzip block with i32-length + SAM text
@@ -205,7 +259,20 @@ class CramWriter:
         ):
             self._flush_container()
         self._cur_tid = tid
-        feats = _cigar_to_features(cigar, seq) if not (flag & FUNMAP) else []
+        refbased = False
+        if flag & FUNMAP:
+            feats = []
+        elif self._fasta is not None and 0 <= tid < len(self.refs):
+            ref_span = sum(
+                ln for op, ln in cigar if op in _X_OPS or op in (OP_D, OP_N)
+            )
+            ref = self._fasta.fetch(
+                self.refs[tid][0], max(pos, 0), max(pos, 0) + ref_span
+            )
+            feats = _cigar_to_features(cigar, seq, ref)
+            refbased = bool(seq)
+        else:
+            feats = _cigar_to_features(cigar, seq)
         c = CigarFeatures(max(pos, 0), list(cigar)) if cigar else None
         rl = (c.query_len if c and c.query_len else len(seq)) or 0
         td_key = bytes(b"".join(t + bytes([y]) for t, y, _ in kept_tags))
@@ -218,7 +285,8 @@ class CramWriter:
             "bf": flag, "tid": tid, "pos": pos, "mapq": mapq, "rl": rl,
             "rg": rg, "qname": qname.encode(), "mate_tid": mate_tid,
             "mate_pos": mate_pos, "tlen": tlen, "feats": feats,
-            "tl": tl, "tags": kept_tags,
+            "tl": tl, "tags": kept_tags, "refbased": refbased,
+            "qual": bytes(qual) if qual else None,
             "ref_end": (c.ref_end if c else pos) if not (flag & FUNMAP)
             else pos,
         })
@@ -252,7 +320,14 @@ class CramWriter:
         for r in recs:
             ap = r["pos"] + 1
             put_int(b"BF", r["bf"])
-            put_int(b"CF", 0x2 | 0x8)  # detached, no stored sequence
+            # CF: detached mate; 0x8 (sequence not reconstructable)
+            # only when NOT reference-based; 0x1 when quals stored
+            cf = 0x2
+            if not r.get("refbased"):
+                cf |= 0x8
+            if r.get("qual"):
+                cf |= 0x1
+            put_int(b"CF", cf)
             put_int(b"RL", r["rl"])
             put_int(b"AP", ap - prev_ap)
             prev_ap = ap
@@ -284,10 +359,18 @@ class CramWriter:
                     elif code == ord("S"):
                         write_itf8(s(_ID_SC_LEN), len(val))
                         s(_ID_SC_VAL).extend(val)
+                    elif code == ord("X"):
+                        s(_ID_BS).append(val)
+                    elif code == ord("b"):
+                        write_itf8(s(_ID_BB_LEN), len(val))
+                        s(_ID_BB_VAL).extend(val)
                     else:  # insertion
                         write_itf8(s(_ID_IN_LEN), len(val))
                         s(_ID_IN_VAL).extend(val)
                 put_int(b"MQ", r["mapq"])
+            if r.get("qual"):
+                s(_ID_QS).extend(r["qual"][:r["rl"]].ljust(
+                    r["rl"], b"\xff"))
 
         content_ids = sorted(streams)
         sh = bytearray()
@@ -365,7 +448,7 @@ class CramWriter:
             pres.extend(key)
             pres.append(flag)
             n_pres += 1
-        pres.extend(b"SM" + b"\x00" * 5)
+        pres.extend(b"SM" + _DEFAULT_SM)
         n_pres += 1
         td_blob = b"\x00".join(self._td_lines)
         pres.extend(b"TD")
@@ -390,6 +473,15 @@ class CramWriter:
         n_ds += 1
         ds.extend(b"IN")
         _enc_byte_array_len(ds, _ID_IN_LEN, _ID_IN_VAL)
+        n_ds += 1
+        ds.extend(b"BS")
+        _enc_external(ds, _ID_BS)
+        n_ds += 1
+        ds.extend(b"QS")
+        _enc_external(ds, _ID_QS)
+        n_ds += 1
+        ds.extend(b"BB")
+        _enc_byte_array_len(ds, _ID_BB_LEN, _ID_BB_VAL)
         n_ds += 1
 
         tg = bytearray()
@@ -433,10 +525,13 @@ _TAG_SIZES = {
 }
 
 
+_NIB = b"=ACMGRSVTWYHKDBN"
+
+
 def iter_bam_records(path: str):
     """Full-fidelity BAM record iterator (qname, flag, tid, pos, mapq,
-    cigar, mate_tid, mate_pos, tlen, l_seq, raw tag list) — transcode
-    support, not the fetch hot path."""
+    cigar, mate_tid, mate_pos, tlen, seq, qual, raw tag list) —
+    transcode support, not the fetch hot path."""
     reader = BgzfReader(path)
     vs = VirtualStream(reader)
     magic = vs.read(4)
@@ -465,7 +560,16 @@ def iter_bam_records(path: str):
             (v,) = struct.unpack_from("<I", rec, off)
             cigar.append((v & 0xF, v >> 4))
             off += 4
-        off += (l_seq + 1) // 2 + l_seq
+        nib = rec[off : off + (l_seq + 1) // 2]
+        seq = "".join(
+            chr(_NIB[(nib[i >> 1] >> (4 if i % 2 == 0 else 0)) & 0xF])
+            for i in range(l_seq)
+        )
+        off += (l_seq + 1) // 2
+        qual = rec[off : off + l_seq]
+        if qual[:1] == b"\xff" and qual == b"\xff" * l_seq:
+            qual = b""  # BAM '*' quals
+        off += l_seq
         raw_tags = []
         while off + 3 <= block_size:
             tag = rec[off : off + 2]
@@ -486,7 +590,7 @@ def iter_bam_records(path: str):
                 raw_tags.append((tag, typ, rec[off : off + ln]))
                 off += ln
         yield (qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
-               l_seq, raw_tags)
+               seq, qual, raw_tags)
 
 
 def bam_to_cram(bam_path: str, cram_path: str,
@@ -500,8 +604,8 @@ def bam_to_cram(bam_path: str, cram_path: str,
     bf = BamFile(bam_path, use_native=False)
     w = CramWriter(cram_path, bf.header.refs, bf.header.text,
                    **writer_kwargs)
-    for (qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen, l_seq,
-         raw_tags) in iter_bam_records(bam_path):
+    for (qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen, seq,
+         qual, raw_tags) in iter_bam_records(bam_path):
         w.write(qname, flag, tid, pos, mapq, cigar, mtid, mpos, tlen,
-                seq="A" * l_seq, raw_tags=raw_tags)
+                seq=seq, qual=qual or None, raw_tags=raw_tags)
     w.close()

@@ -38,7 +38,10 @@ def get_args(argv=None):
     p.add_argument("-B", "--bam", required=True,
                    help="BAM file(s), comma-separated if genotyping multiple samples")
     p.add_argument("-T", "--ref_fasta", default=None,
-                   help="reference FASTA (reference flag parity; CRAM here decodes CIGAR from read features, so no FASTA is needed)")
+                   help="reference FASTA (optional: CRAM genotyping "
+                        "decodes CIGAR from read features without it; "
+                        "providing it restores full SEQ/QUAL in -w "
+                        "output from CRAM)")
     p.add_argument("-l", "--lib_info", default=None,
                    help="create/read JSON file of library information")
     p.add_argument("-m", "--min_aligned", type=int, default=20,
@@ -57,7 +60,9 @@ def get_args(argv=None):
                    help="maximum size of a confidence interval before 0/0 genotype [1e10]")
     p.add_argument("-w", "--write_alignment", default=None,
                    help="write relevant reads to BAM file (CRAM inputs "
-                        "emit seq-less records: SEQ/QUAL show as '*')")
+                        "emit full SEQ/QUAL when -T provides the "
+                        "reference FASTA; seq-less '*' records "
+                        "otherwise)")
     p.add_argument("--debug", action="store_true", help="debugging verbosity")
     p.add_argument("--verbose", action="store_true", help="progress logging")
     # TPU-framework extensions (not in the reference)
@@ -134,7 +139,8 @@ def sv_genotype(
     bam_paths = [b for b in bam_string.split(",") if b]
     # --cores drives the native decoder's per-fetch thread fan-out (the
     # role of the reference sso's fork pool: host-side parallelism)
-    bams = [open_bam(p, threads=cores) for p in bam_paths]
+    bams = [open_bam(p, threads=cores, ref_fasta=ref_fasta)
+            for p in bam_paths]
 
     # Samples: JSON cache if it exists, else head-scan (then save cache)
     samples: List[Sample] = []
