@@ -635,9 +635,12 @@ def _measure():
     # 6s ↔ 120s+ with tunnel weather (BASELINE.md); keep the best
     # steady rate and stop early once a run's first chunk came up
     # clean (<30s — the load leg behaved)
+    last_first_chunk = None
     for attempt in range(3):
-        if (cli_stats and cli_stats.get("first_chunk_s")
-                and cli_stats["first_chunk_s"] < 30):
+        # stop once the MOST RECENT attempt's load leg behaved — the
+        # best-steady run may still carry a wedged first chunk
+        # (review, r5)
+        if last_first_chunk is not None and last_first_chunk < 30:
             break
         if os.path.exists(stats_path):
             os.unlink(stats_path)
@@ -662,6 +665,7 @@ def _measure():
             continue
         with open(stats_path) as fh:
             st_try = json.load(fh)
+        last_first_chunk = st_try.get("first_chunk_s")
         if cli_stats is None or (
             (_steady(st_try) or 0.0) > (_steady(cli_stats) or 0.0)
         ):

@@ -819,6 +819,13 @@ class CramFile:
     def close(self) -> None:
         """Release the mmap and file descriptor (safe to call twice;
         long-lived processes opening many CRAMs must not leak fds)."""
+        fasta = getattr(self, "_fasta", None)
+        if fasta is not None:
+            try:
+                fasta.close()
+            except Exception:
+                pass
+            self._fasta = None
         buf = getattr(self, "_buf", None)
         if buf is not None and hasattr(buf, "close"):
             try:
@@ -1026,11 +1033,13 @@ class CramFile:
         """BAM record bytes for ``-w/--write_alignment`` (reference
         ``classic.py::write_alignment`` gets this free from htslib).
 
-        CRAM stores bases/qualities as reference deltas this reader
-        never reconstructs (it decodes only alignment geometry), so the
-        emitted records carry no SEQ/QUAL (``l_seq=0`` — the BAM '*'
-        form). Name, FLAG, position, MAPQ, CIGAR, mate, TLEN, and all
-        aux tags are exact.
+        With a reference FASTA (``-T``), mapped records carry full
+        SEQ/QUAL reconstructed from their features + the substitution
+        matrix, and unmapped records their stored literal bases.
+        Without one — or for legacy CF-0x8 files whose mismatches were
+        never recorded — records are seq-less (``l_seq=0``, the BAM
+        '*' form). Name, FLAG, position, MAPQ, CIGAR, mate, TLEN, and
+        all aux tags are exact either way.
         """
         from collections import defaultdict
 
@@ -1053,6 +1062,24 @@ class CramFile:
                     recs[ordi], self._fasta, ref_names
                 )
         return out
+
+
+_MISSING_CONTIGS_WARNED: set = set()
+
+
+def _warn_missing_contig(fasta, name: str) -> None:
+    """A -T FASTA missing a header contig (chr-prefix mismatch, partial
+    reference) degrades that contig's records to seq-less instead of
+    crashing -w mid-run — announced once per contig (review, r5)."""
+    key = (id(fasta), name)
+    if key not in _MISSING_CONTIGS_WARNED:
+        _MISSING_CONTIGS_WARNED.add(key)
+        import sys
+
+        sys.stderr.write(
+            "warning: contig %r not in reference FASTA %r — emitting "
+            "seq-less records for it\n" % (name, fasta.path)
+        )
 
 
 _SUB_BASES = b"ACGTN"
@@ -1136,7 +1163,11 @@ def _rec_to_bam_bytes(r: dict, fasta=None, ref_names=None) -> bytes:
         if fasta is not None and ref_names and 0 <= r["ref_id"] < len(
             ref_names
         ):
-            seq = _reconstruct_seq(r, fasta, ref_names[r["ref_id"]])
+            name = ref_names[r["ref_id"]]
+            if name in fasta:
+                seq = _reconstruct_seq(r, fasta, name)
+            else:
+                _warn_missing_contig(fasta, name)
     elif r.get("bases"):
         seq = r["bases"]
 

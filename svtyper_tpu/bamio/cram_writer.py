@@ -57,6 +57,7 @@ _ID_RN, _ID_FC = 6, 13
 _ID_SC_VAL, _ID_SC_LEN, _ID_IN_VAL, _ID_IN_LEN = 16, 17, 18, 19
 _ID_BS, _ID_QS = 24, 25
 _ID_BB_LEN, _ID_BB_VAL = 26, 27
+_ID_BA = 28
 _ID_TAG_BASE = 32
 
 # CRAM 3.0 substitution matrix (spec §10.5): one byte per reference
@@ -260,9 +261,16 @@ class CramWriter:
             self._flush_container()
         self._cur_tid = tid
         refbased = False
+        bases = None
         if flag & FUNMAP:
             feats = []
-        elif self._fasta is not None and 0 <= tid < len(self.refs):
+            if self._fasta is not None and seq:
+                # reference-based files keep unmapped reads' literal
+                # bases (BA series) so -w round-trips them too
+                # (review, r5)
+                bases = seq.encode() if isinstance(seq, str) else seq
+        elif (self._fasta is not None and 0 <= tid < len(self.refs)
+                and self.refs[tid][0] in self._fasta):
             ref_span = sum(
                 ln for op, ln in cigar if op in _X_OPS or op in (OP_D, OP_N)
             )
@@ -286,7 +294,7 @@ class CramWriter:
             "rg": rg, "qname": qname.encode(), "mate_tid": mate_tid,
             "mate_pos": mate_pos, "tlen": tlen, "feats": feats,
             "tl": tl, "tags": kept_tags, "refbased": refbased,
-            "qual": bytes(qual) if qual else None,
+            "bases": bases, "qual": bytes(qual) if qual else None,
             "ref_end": (c.ref_end if c else pos) if not (flag & FUNMAP)
             else pos,
         })
@@ -323,7 +331,7 @@ class CramWriter:
             # CF: detached mate; 0x8 (sequence not reconstructable)
             # only when NOT reference-based; 0x1 when quals stored
             cf = 0x2
-            if not r.get("refbased"):
+            if not (r.get("refbased") or r.get("bases")):
                 cf |= 0x8
             if r.get("qual"):
                 cf |= 0x1
@@ -368,6 +376,10 @@ class CramWriter:
                         write_itf8(s(_ID_IN_LEN), len(val))
                         s(_ID_IN_VAL).extend(val)
                 put_int(b"MQ", r["mapq"])
+            elif r.get("bases"):
+                # unmapped + stored bases: BA literal series
+                s(_ID_BA).extend(r["bases"][:r["rl"]].ljust(
+                    r["rl"], b"N"))
             if r.get("qual"):
                 s(_ID_QS).extend(r["qual"][:r["rl"]].ljust(
                     r["rl"], b"\xff"))
@@ -482,6 +494,9 @@ class CramWriter:
         n_ds += 1
         ds.extend(b"BB")
         _enc_byte_array_len(ds, _ID_BB_LEN, _ID_BB_VAL)
+        n_ds += 1
+        ds.extend(b"BA")
+        _enc_external(ds, _ID_BA)
         n_ds += 1
 
         tg = bytearray()

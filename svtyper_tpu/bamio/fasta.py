@@ -29,12 +29,16 @@ class FastaFile:
             self._idx = self._parse_fai(fai)
         else:
             self._idx = self._build_index()
+            # pid-suffixed temp: concurrent first-open of a shared
+            # reference must not interleave writes into one tmp file
+            # (review, r5)
+            tmp = "%s.tmp.%d" % (fai, os.getpid())
             try:
-                with open(fai + ".tmp", "w") as fh:
+                with open(tmp, "w") as fh:
                     for name, (ln, off, bpl, cpl) in self._idx.items():
                         fh.write("%s\t%d\t%d\t%d\t%d\n"
                                  % (name, ln, off, bpl, cpl))
-                os.replace(fai + ".tmp", fai)
+                os.replace(tmp, fai)
             except OSError:
                 pass  # read-only dir: index stays in-memory only
 
@@ -73,6 +77,7 @@ class FastaFile:
             cpl = line_end - seq_off + 1
             total = 0
             pos2 = seq_off
+            last_ll = None
             while pos2 < n and m[pos2 : pos2 + 1] != b">":
                 le = m.find(b"\n", pos2)
                 if le < 0:
@@ -80,6 +85,25 @@ class FastaFile:
                 ll = le - pos2
                 if ll and m[le - 1 : le] == b"\r":
                     ll -= 1
+                # fetch() computes offsets assuming uniform wrapping —
+                # a mid-record line longer/shorter than the first would
+                # silently return wrong bases (samtools faidx rejects
+                # such files too; review, r5). Only the LAST line of a
+                # record may be short.
+                if last_ll is not None and last_ll != bpl:
+                    raise ValueError(
+                        "FASTA %r: record %r has non-uniform line "
+                        "lengths (%d then %d); re-wrap it (e.g. "
+                        "seqkit seq -w) before indexing"
+                        % (self.path, name, bpl, last_ll)
+                    )
+                if ll > bpl:
+                    raise ValueError(
+                        "FASTA %r: record %r has non-uniform line "
+                        "lengths (%d then %d); re-wrap it before "
+                        "indexing" % (self.path, name, bpl, ll)
+                    )
+                last_ll = ll
                 total += ll
                 pos2 = le + 1
             idx[name] = (total, seq_off, bpl if bpl else total, cpl)
@@ -88,6 +112,9 @@ class FastaFile:
 
     def references(self) -> List[str]:
         return list(self._idx)
+
+    def __contains__(self, chrom: str) -> bool:
+        return chrom in self._idx
 
     def length(self, chrom: str) -> int:
         return self._idx[chrom][0]

@@ -24,6 +24,18 @@ from svtyper_tpu.vcfio.reader import read_vcf_lines
 from svtyper_tpu.version import __version__
 
 
+def open_vcf_input(path):
+    """-i input opener shared by both CLIs: .vcf.gz inputs (LUMPY
+    outputs are often bgzip-compressed in pipelines) go through
+    gzip.open, which handles plain gzip AND bgzip members; the
+    streaming re-read path rewinds either like any seekable file."""
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rt")
+    return open(path)
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(
         prog="svtyper",
@@ -529,20 +541,17 @@ def sv_genotype(
         # engine-export fast path: the native chunk fetch records every
         # kept row's location during genotyping prep, so -w costs no
         # second decode pass (falls back to the batched re-fetch when
-        # any sample lacks native support — CRAM, pure-Python)
-        # (chunk_size == batch_size keeps the writer's per-chunk flag
-        # FIFO aligned with the CLI's chunk plans — the sharded engine
-        # rounds its chunk size up to a device multiple)
+        # any sample lacks native support — CRAM, pure-Python — or in
+        # multihost mode); batch_size was aligned to the engine's
+        # device-rounded chunk size at construction, keeping the
+        # writer's per-chunk flag FIFO 1:1 with the CLI's chunk plans
         fallback_why = None
         if engine_kind != "tpu":
             fallback_why = "oracle engine has no decode arena"
         elif n_procs != 1:
             fallback_why = "multihost run (per-host arenas not merged)"
-        elif engine.chunk_size != batch_size:
-            fallback_why = (
-                "engine chunk size %d != batch size %d (multi-device "
-                "rounding)" % (engine.chunk_size, batch_size)
-            )
+        # (batch_size was aligned to engine.chunk_size at engine
+        # construction, so chunk-rounding can no longer disengage -w)
         if fallback_why is None:
             toggles = [
                 getattr(s.bam, "set_evidence_export", lambda v: False)
@@ -887,18 +896,8 @@ def sv_genotype(
 
 def main(argv=None) -> int:
     args = get_args(argv)
-    if args.input_vcf:
-        # .vcf.gz inputs (LUMPY outputs are often bgzip-compressed in
-        # pipelines): gzip.open handles plain gzip AND bgzip members;
-        # the streaming re-read path rewinds it like any seekable file
-        if args.input_vcf.endswith(".gz"):
-            import gzip
-
-            vcf_in = gzip.open(args.input_vcf, "rt")
-        else:
-            vcf_in = open(args.input_vcf)
-    else:
-        vcf_in = sys.stdin
+    vcf_in = open_vcf_input(args.input_vcf) if args.input_vcf \
+        else sys.stdin
     vcf_out = open(args.output_vcf, "w") if args.output_vcf else sys.stdout
     profile_ctx = None
     if args.profile:

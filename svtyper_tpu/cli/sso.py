@@ -62,18 +62,10 @@ def main(argv=None) -> int:
     if "," in args.bam:
         sys.stderr.write("svtyper-sso genotypes exactly one sample\n")
         return 2
-    if args.input_vcf:
-        # .vcf.gz inputs (LUMPY outputs are often bgzip-compressed in
-        # pipelines): gzip.open handles plain gzip AND bgzip members;
-        # the streaming re-read path rewinds it like any seekable file
-        if args.input_vcf.endswith(".gz"):
-            import gzip
+    from svtyper_tpu.cli.classic import open_vcf_input
 
-            vcf_in = gzip.open(args.input_vcf, "rt")
-        else:
-            vcf_in = open(args.input_vcf)
-    else:
-        vcf_in = sys.stdin
+    vcf_in = open_vcf_input(args.input_vcf) if args.input_vcf \
+        else sys.stdin
     vcf_out = open(args.output_vcf, "w") if args.output_vcf else sys.stdout
     try:
         sv_genotype(

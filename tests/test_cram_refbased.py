@@ -216,3 +216,73 @@ def test_cli_w_from_cram_with_T_has_seq(tmp_path):
         assert seq and set(seq) <= {"A"}, (qname, seq[:20])
         n += 1
     assert n > 0
+
+
+def test_unmapped_reads_keep_literal_bases(tmp_path):
+    """Reference-based files store unmapped reads' bases verbatim (BA
+    series) — raw_records round-trips their SEQ/QUAL too (review
+    finding, r5: they previously degraded to seq-less)."""
+    from svtyper_tpu.bamio.cram_writer import CramWriter
+    from svtyper_tpu.bamio.writer import make_header_text
+
+    refs = [("chr1", 5_000)]
+    fasta = str(tmp_path / "r.fa")
+    with open(fasta, "w") as fh:
+        fh.write(">chr1\n" + "ACGT" * 1250 + "\n")
+    hdr = make_header_text(refs, read_groups=[{"ID": "rg1", "SM": "S1",
+                                               "LB": "l1"}])
+    cram = str(tmp_path / "u.cram")
+    w = CramWriter(cram, refs, hdr, ref_fasta=fasta)
+    # one mapped, one unmapped-with-coordinate (placed record)
+    w.write("m1", 0x1 | 0x40, 0, 100, 40, [(M, 40)],
+            seq="ACGT" * 10, qual=bytes(range(30, 70)),
+            tags={"RG": ("Z", "rg1")})
+    w.write("u1", 0x1 | 0x80 | 0x4, 0, 100, 0, [],
+            seq="TTTTGGGGCCCC", qual=bytes(range(20, 32)),
+            tags={"RG": ("Z", "rg1")})
+    w.close()
+    cf = CramFile(cram, ref_fasta=fasta)
+    batch = cf.fetch("chr1", 0, 5_000)
+    vos = batch.voffset.tolist()
+    # fetch() excludes unmapped records (the evidence model never sees
+    # them); address the unmapped mate by its (container, ordinal)
+    # voffset directly — ordinal 1, same container as the mapped read
+    container_off = int(vos[0]) >> 24
+    vos.append((container_off << 24) | 1)
+    bodies = cf.raw_records(vos)
+    got = {}
+    for body in bodies:
+        qname, _fl, _tid, _pos, l_seq, seq, qual = _decode_bam_body(body)
+        got[qname] = (seq, qual)
+    assert got["m1"] == ("ACGT" * 10, bytes(range(30, 70)))
+    assert got["u1"] == ("TTTTGGGGCCCC", bytes(range(20, 32)))
+
+
+def test_missing_contig_degrades_with_warning(ref_and_reads, capsys):
+    """A -T FASTA missing a header contig must not crash -w: that
+    contig's records come back seq-less and a single warning names it
+    (review finding, r5)."""
+    d, fasta, bam, cram, reads = ref_and_reads
+    partial = str(d / "partial.fa")
+    with open(partial, "w") as out, open(fasta) as src:
+        take = True
+        for line in src:
+            if line.startswith(">"):
+                take = line.startswith(">chr1")
+            if take:
+                out.write(line)
+    cf = CramFile(cram, ref_fasta=partial)
+    # chr1 present: seq reconstructed
+    b1 = cf.fetch("chr1", 0, 60_000)
+    body = cf.raw_records(b1.voffset.tolist()[:1])[0]
+    assert _decode_bam_body(body)[4] > 0
+    # chr2 absent: seq-less, one warning
+    import sys
+
+    b2 = cf.fetch("chr2", 0, 60_000)
+    bodies = cf.raw_records(b2.voffset.tolist()[:4])
+    err = capsys.readouterr().err
+    for body in bodies:
+        assert _decode_bam_body(body)[4] == 0
+    assert err.count("not in reference FASTA") == 1
+    assert "chr2" in err
