@@ -286,3 +286,41 @@ def test_missing_contig_degrades_with_warning(ref_and_reads, capsys):
         assert _decode_bam_body(body)[4] == 0
     assert err.count("not in reference FASTA") == 1
     assert "chr2" in err
+
+
+def test_mixed_bam_cram_w_falls_back_with_note(tmp_path, capsys):
+    """-w over one BAM + one CRAM sample: the CRAM handle has no
+    native evidence arena, so the run must roll back to the batched
+    re-fetch for BOTH samples and say so (the arena note machinery,
+    exercised on the mixed-support branch)."""
+    from svtyper_tpu.cli.classic import main as classic_main
+    from svtyper_tpu.simulate import (
+        Event, SimConfig, events_to_vcf, simulate_events,
+    )
+
+    refs = [("chr1", 800_000)]
+    events = [Event("DEL", "chr1", 200_000, 202_500, "0/1", var_id="d1")]
+    bam_a = str(tmp_path / "a.bam")
+    bam_b = str(tmp_path / "b.bam")
+    simulate_events(bam_a, refs, events,
+                    SimConfig(depth=25, sample_name="SA"), seed=3,
+                    extra_background=400)
+    simulate_events(bam_b, refs, events,
+                    SimConfig(depth=25, sample_name="SB"), seed=4,
+                    extra_background=400)
+    cram_b = str(tmp_path / "b.cram")
+    bam_to_cram(bam_b, cram_b)
+    vcf = str(tmp_path / "in.vcf")
+    with open(vcf, "w") as fh:
+        fh.write(events_to_vcf(events, refs, sample="SA"))
+    out = str(tmp_path / "o.vcf")
+    ebam = str(tmp_path / "ev.bam")
+    assert classic_main(["-i", vcf, "-B", "%s,%s" % (bam_a, cram_b),
+                         "-o", out, "-n", "20000", "-w", ebam]) == 0
+    err = capsys.readouterr().err
+    assert "-w using the batched re-fetch path" in err
+    assert "without native evidence export" in err
+    from svtyper_tpu.bamio.bam import BamFile
+
+    eb = BamFile(ebam)
+    assert eb.fetch("chr1", 195_000, 210_000).n > 0
