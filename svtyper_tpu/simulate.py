@@ -38,6 +38,10 @@ class SimConfig:
         mapq_choices: Sequence[int] = (60, 60, 60, 40, 27),
         sample_name: str = "NA12878",
         library_name: str = "lib1",
+        noise_clip_rate: float = 0.0,
+        noise_lowmapq_rate: float = 0.0,
+        noise_chimera_rate: float = 0.0,
+        noise_discordant_rate: float = 0.0,
     ) -> None:
         self.read_len = read_len
         self.insert_mean = insert_mean
@@ -46,6 +50,25 @@ class SimConfig:
         self.mapq_choices = list(mapq_choices)
         self.sample_name = sample_name
         self.library_name = library_name
+        # "hard mode" (VERDICT r4 Missing #3: synthesized fixtures are
+        # cleaner than real NA12878 data) — geometric noise classes
+        # that stress the EVIDENCE model (bases are never read):
+        #   clip_rate      fraction of reads given a spurious soft clip
+        #                  (random end, 5-30 bp) — false clip evidence
+        #   lowmapq_rate   fraction of reads remapped to mapq 0-10 —
+        #                  prob_mapq down-weighting under ambiguity
+        #   chimera_rate   fraction of reads given a bogus SA tag to a
+        #                  random far locus — false split evidence
+        #   discordant_rate fraction of background pairs re-oriented or
+        #                  stretched — false span evidence at random loci
+        self.noise_clip_rate = noise_clip_rate
+        self.noise_lowmapq_rate = noise_lowmapq_rate
+        self.noise_chimera_rate = noise_chimera_rate
+        self.noise_discordant_rate = noise_discordant_rate
+
+    def has_noise(self) -> bool:
+        return any((self.noise_clip_rate, self.noise_lowmapq_rate,
+                    self.noise_chimera_rate, self.noise_discordant_rate))
 
     @property
     def window(self) -> int:
@@ -206,6 +229,76 @@ def _emit_read(
     )
 
 
+def _apply_noise(recs, refs, cfg: SimConfig, rng) -> None:
+    """In-place geometric noise over the simulated record set (see
+    SimConfig). Pairs stay internally consistent (mate fields follow
+    any position shift); truth genotypes are unchanged — noise is what
+    the genotyper must be ROBUST to, and the concordance floor in
+    tests/test_noise_robustness.py is the measure."""
+    ref_names = [name for name, _ in refs]
+    by_qname = {}
+    for r in recs:
+        by_qname.setdefault(r.qname, []).append(r)
+    for r in recs:
+        if cfg.noise_lowmapq_rate and rng.random() < cfg.noise_lowmapq_rate:
+            r.mapq = int(rng.integers(0, 11))
+        if cfg.noise_clip_rate and rng.random() < cfg.noise_clip_rate:
+            k = int(rng.integers(5, 31))
+            cig = list(r.cigar)
+            # clip k bases off one end of the outermost M run
+            left = bool(rng.integers(0, 2))
+            mi = 0 if cig[0][0] == OP_M else (1 if len(cig) > 1 else 0)
+            if not left:
+                mi = len(cig) - 1
+                if cig[mi][0] != OP_M and mi > 0:
+                    mi -= 1
+            if cig[mi][0] == OP_M and cig[mi][1] > k + 20:
+                cig[mi] = (OP_M, cig[mi][1] - k)
+                if left:
+                    # aligned span now starts k later
+                    if cig[0][0] == OP_S:
+                        cig[0] = (OP_S, cig[0][1] + k)
+                    else:
+                        cig.insert(0, (OP_S, k))
+                    old = r.pos
+                    r.pos += k
+                    for m in by_qname[r.qname]:
+                        if m is not r and m.mate_pos == old:
+                            m.mate_pos = r.pos
+                else:
+                    if cig[-1][0] == OP_S:
+                        cig[-1] = (OP_S, cig[-1][1] + k)
+                    else:
+                        cig.append((OP_S, k))
+                r.cigar = cig
+        if (cfg.noise_chimera_rate and "SA" not in r.tags
+                and rng.random() < cfg.noise_chimera_rate):
+            t = int(rng.integers(0, len(refs)))
+            p = int(rng.integers(0, max(refs[t][1] - 200, 1)))
+            r.tags = dict(r.tags)
+            r.tags["SA"] = (
+                "Z", "%s,%d,%s,%dM,%d,0;" % (
+                    ref_names[t], p + 1,
+                    "+" if rng.integers(0, 2) else "-",
+                    cfg.read_len // 2, r.mapq),
+            )
+    if cfg.noise_discordant_rate:
+        for r in recs:
+            if not r.qname.startswith("bg_"):
+                continue
+            if rng.random() < cfg.noise_discordant_rate:
+                mode = int(rng.integers(0, 2))
+                mates = [m for m in by_qname[r.qname] if m is not r]
+                if mode == 0:
+                    # orientation flip (tandem-dup-like false signal)
+                    r.flag ^= FREVERSE
+                    for m in mates:
+                        m.flag ^= FMREVERSE
+                else:
+                    # stretched insert (deletion-like false signal)
+                    r.tlen = int(r.tlen * 4) if r.tlen else 1400
+
+
 def simulate_events(
     bam_path: str,
     refs: List[Tuple[str, int]],
@@ -290,6 +383,9 @@ def simulate_events(
                       mate_tid=tid0, mate_pos=f, tlen=-ins, seq_len=rl,
                       tags={"RG": ("Z", "rg0")})
             recs.extend((r1, r2))
+
+    if cfg.has_noise():
+        _apply_noise(recs, refs, cfg, rng)
 
     recs.sort(key=lambda r: (r.tid, r.pos))
     hdr = make_header_text(
