@@ -155,9 +155,10 @@ def _hap_maps(
 
 class _Rec:
     __slots__ = ("qname", "flag", "tid", "pos", "mapq", "cigar", "mate_tid",
-                 "mate_pos", "tlen", "seq_len", "tags")
+                 "mate_pos", "tlen", "seq_len", "tags", "seq")
 
     def __init__(self, **kw):
+        self.seq = None
         for k, v in kw.items():
             setattr(self, k, v)
 
@@ -299,6 +300,35 @@ def _apply_noise(recs, refs, cfg: SimConfig, rng) -> None:
                     r.tlen = int(r.tlen * 4) if r.tlen else 1400
 
 
+_BASE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+_COMP = {65: 84, 67: 71, 71: 67, 84: 65, 78: 78}  # A<->T C<->G N
+
+
+def _write_fasta(path: str, refs, genomes) -> None:
+    with open(path, "w") as fh:
+        for name, _l in refs:
+            fh.write(">%s\n" % name)
+            g = genomes[name].tobytes().decode()
+            for i in range(0, len(g), 70):
+                fh.write(g[i : i + 70] + "\n")
+
+
+def _read_bases(genomes_by_tid, q_tid, q_ref, q_strand,
+                rec_flag: int) -> str:
+    """BAM SEQ for one read: the sequenced bases are the genome base at
+    each (tid, ref_pos), complemented where the query maps reverse;
+    BAM stores the FORWARD-strand projection, so reverse-aligned
+    records (FREVERSE) store the reverse complement of the sequenced
+    read."""
+    out = bytearray(len(q_ref))
+    for i in range(len(q_ref)):
+        b = int(genomes_by_tid[int(q_tid[i])][int(q_ref[i])])
+        out[i] = _COMP[b] if q_strand[i] < 0 else b
+    if rec_flag & FREVERSE:
+        out = bytearray(_COMP[b] for b in reversed(out))
+    return out.decode()
+
+
 def simulate_events(
     bam_path: str,
     refs: List[Tuple[str, int]],
@@ -306,14 +336,31 @@ def simulate_events(
     cfg: Optional[SimConfig] = None,
     seed: int = 0,
     extra_background: int = 0,
+    fasta_out: Optional[str] = None,
 ) -> None:
-    """Write a coordinate-sorted, indexed BAM covering all events."""
+    """Write a coordinate-sorted, indexed BAM covering all events.
+
+    ``fasta_out``: also generate a random reference genome (seeded),
+    write it as an indexed-ready FASTA, and give every read its TRUE
+    bases from the haplotype mapping (reverse strand complemented) —
+    enabling reference-based CRAM transcodes and base-realistic -w
+    fixtures. Without it, reads carry placeholder 'A' bases (the
+    evidence model never reads bases; geometry is what matters)."""
     cfg = cfg or SimConfig()
     rng = np.random.default_rng(seed)
     tid_of = {name: i for i, (name, _) in enumerate(refs)}
     ref_names = [name for name, _ in refs]
     rl = cfg.read_len
     recs: List[_Rec] = []
+    genomes = None
+    if fasta_out:
+        grng = np.random.default_rng(seed ^ 0x5EED)
+        genomes = {
+            name: _BASE_LUT[grng.integers(0, 4, ln)].copy()
+            for name, ln in refs
+        }
+        _write_fasta(fasta_out, refs, genomes)
+        genomes_by_tid = [genomes[name] for name, _l in refs]
 
     for ei, ev in enumerate(events):
         n_alt = ev.n_alt_haps()
@@ -348,6 +395,15 @@ def simulate_events(
                 )
                 if r1 is None or r2 is None:
                     continue
+                if genomes is not None:
+                    r1.seq = _read_bases(
+                        genomes_by_tid, tids[sl1], poss[sl1], strs[sl1],
+                        r1.flag,
+                    )
+                    r2.seq = _read_bases(
+                        genomes_by_tid, tids[idx2], poss[idx2],
+                        -strs[idx2], r2.flag,
+                    )
                 for a, b in ((r1, r2), (r2, r1)):
                     a.mate_tid = b.tid
                     a.mate_pos = b.pos
@@ -370,6 +426,7 @@ def simulate_events(
         ).astype(np.int64)
         starts = rng.integers(0, max(ref_len - int(inserts.max()) - 1, 1),
                               extra_background)
+        bg_genome = genomes_by_tid[0] if genomes is not None else None
         for i in range(extra_background):
             f, ins = int(starts[i]), int(inserts[i])
             mapq = int(rng.choice(cfg.mapq_choices))
@@ -382,6 +439,13 @@ def simulate_events(
                       pos=f + ins - rl, mapq=mapq, cigar=[(OP_M, rl)],
                       mate_tid=tid0, mate_pos=f, tlen=-ins, seq_len=rl,
                       tags={"RG": ("Z", "rg0")})
+            if bg_genome is not None:
+                r1.seq = bg_genome[f : f + rl].tobytes().decode()
+                # reverse read: stored SEQ is the forward-strand bases
+                # of its alignment span (BAM convention)
+                r2.seq = bg_genome[
+                    f + ins - rl : f + ins
+                ].tobytes().decode()
             recs.extend((r1, r2))
 
     if cfg.has_noise():
@@ -399,7 +463,8 @@ def simulate_events(
         w.write(
             r.qname, r.flag, r.tid, r.pos, r.mapq, r.cigar,
             mate_tid=r.mate_tid, mate_pos=r.mate_pos, tlen=r.tlen,
-            seq="A" * r.seq_len, tags=r.tags,
+            seq=r.seq if r.seq is not None else "A" * r.seq_len,
+            tags=r.tags,
         )
     w.close()
 

@@ -324,3 +324,46 @@ def test_mixed_bam_cram_w_falls_back_with_note(tmp_path, capsys):
 
     eb = BamFile(ebam)
     assert eb.fetch("chr1", 195_000, 210_000).n > 0
+
+
+def test_genome_backed_simulation_roundtrip(tmp_path):
+    """simulate_events(fasta_out=...) emits TRUE read bases from a
+    generated genome; a reference-based CRAM transcode of that BAM
+    must round-trip every record's SEQ/QUAL byte-exactly through
+    raw_records — tying the simulator, the FASTA reader, and the
+    substitution-matrix path together end to end."""
+    from svtyper_tpu.bamio.cram_writer import iter_bam_records
+    from svtyper_tpu.simulate import Event, SimConfig, simulate_events
+
+    refs = [("chr1", 900_000), ("chr2", 300_000)]
+    events = [
+        Event("DEL", "chr1", 200_000, 202_500, "0/1", var_id="d1"),
+        Event("INV", "chr1", 500_000, 502_000, "0/1", var_id="i1"),
+        Event("BND", "chr1", 700_000, 100_000, "0/1", chrom2="chr2",
+              var_id="b1"),
+    ]
+    bam = str(tmp_path / "g.bam")
+    fasta = str(tmp_path / "g.fa")
+    simulate_events(bam, refs, events, SimConfig(depth=20), seed=12,
+                    extra_background=300, fasta_out=fasta)
+    # reads are no longer all-'A'
+    seqs = [r[9] for r in iter_bam_records(bam)]
+    assert any(set(sq) - {"A"} for sq in seqs if sq)
+    cram = str(tmp_path / "g.cram")
+    bam_to_cram(bam, cram, ref_fasta=fasta)
+    cf = CramFile(cram, ref_fasta=fasta)
+    # compare every mapped record's SEQ/QUAL via raw_records
+    want = {}
+    for (qname, flag, tid, pos, _m, _c, _mt, _mp, _tl, sq, ql, _t) \
+            in iter_bam_records(bam):
+        want[(qname, flag & 0xC0, tid, pos)] = sq
+    n = 0
+    for chrom, span in refs:
+        batch = cf.fetch(chrom, 0, span)
+        for body in cf.raw_records(batch.voffset.tolist()):
+            qname, flag, tid, pos, l_seq, seq, _q = _decode_bam_body(body)
+            key = (qname, flag & 0xC0, tid, pos)
+            assert l_seq > 0
+            assert seq == want[key], key
+            n += 1
+    assert n > 500
