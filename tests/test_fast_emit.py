@@ -255,3 +255,57 @@ def test_odd_batch_size_rounds_to_device_multiple(paths, capsys):
 
     if len(jax.local_devices()) > 1:
         assert "rounded to" in err
+
+
+def test_format_sample_fuzz_vs_object_path():
+    """Property fuzz: random packed result matrices (nulls, extreme
+    counts, negative ref_span, tiny/huge GL/SQ/AB values) must format
+    identically through _format_sample and through the GenotypeResult →
+    apply_result object path — the printf-parity surface hammered at
+    the function level, beyond what fixtures produce."""
+    import numpy as np
+
+    from svtyper_tpu.cli.fast_emit import FIELD_ORDER, _format_sample
+    from svtyper_tpu.gt.engine import _I, _NI, _to_result
+    from svtyper_tpu.output import add_format_headers, apply_result
+    from svtyper_tpu.vcfio.model import Variant, Vcf
+
+    rng = np.random.default_rng(99)
+    n = 512
+    a = np.zeros((n, 24), dtype=np.float32)
+    a[:, _I["null"]] = rng.integers(0, 2, n)
+    a[:, _I["gt_idx"]] = rng.integers(0, 3, n)
+    a[:, _I["gq"]] = rng.integers(0, 201, n)
+    a[:, _I["qr"]] = rng.integers(0, 5000, n)
+    a[:, _I["qa"]] = rng.integers(0, 5000, n)
+    a[:, _I["ab_valid"]] = rng.integers(0, 2, n)
+    # floats: gl0..2, sq, ab, c0..c4
+    a[:, _NI + 0 : _NI + 3] = -rng.exponential(50, (n, 3))
+    a[:, _NI + 3] = rng.exponential(100, n)
+    a[:, _NI + 4] = rng.random(n)
+    a[:, _NI + 5 : _NI + 10] = rng.exponential(40, (n, 5))
+    # DEL re-partition can push ref_span negative (SPEC §4.3)
+    a[:, _NI + 8] -= 5
+    # extreme rows
+    a[0, _NI:] = 0.0
+    a[1, _NI + 3] = 1e-7
+    a[2, _NI + 4] = 0.9999999
+    a[3, _NI + 5 : _NI + 10] = 16_000_000.0  # near f32 int-exact limit
+
+    vcf = Vcf()
+    vcf.add_header(["##fileformat=VCFv4.2",
+                    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"])
+    add_format_headers(vcf)
+    vcf.add_sample("S")
+    nulls, strs, _q = _format_sample(a, n)
+    for i in range(n):
+        res = _to_result(a, i)
+        v = Variant("chr1\t100\tx\tN\t<DEL>\t.\t.\tSVTYPE=DEL", vcf)
+        apply_result(v, "S", res)
+        want = v.genotype("S").get_gt_string(list(FIELD_ORDER))
+        if nulls[i]:
+            # the fast path substitutes the null placeholder at emit;
+            # the object path leaves non-GT fields missing -> '.'
+            assert want.startswith("./.")
+        else:
+            assert strs[i] == want, (i, strs[i], want)
