@@ -367,3 +367,21 @@ def test_genome_backed_simulation_roundtrip(tmp_path):
             assert seq == want[key], key
             n += 1
     assert n > 500
+
+
+def test_fasta_crlf_and_fai_roundtrip(tmp_path):
+    """CRLF-wrapped FASTA files index and fetch correctly (bpl counts
+    bases, cpl counts bytes incl. \\r\\n), and a second open parses the
+    cached .fai to identical results."""
+    from svtyper_tpu.bamio.fasta import FastaFile
+
+    p = str(tmp_path / "crlf.fa")
+    with open(p, "wb") as fh:
+        fh.write(b">c1 desc\r\nACGTACGTAC\r\nGTACGTACGT\r\nACG\r\n")
+    f1 = FastaFile(p)
+    assert f1.length("c1") == 23
+    assert f1.fetch("c1", 0, 23) == b"ACGTACGTACGTACGTACGTACG"
+    assert f1.fetch("c1", 8, 14) == b"ACGTAC"
+    assert f1.fetch("c1", 21, 27) == b"CGNNNN"
+    f2 = FastaFile(p)  # .fai cache path
+    assert f2.fetch("c1", 8, 14) == b"ACGTAC"
