@@ -20,9 +20,19 @@ repeat-pass tiling, VERDICT r3 Weak #2):
     the steady-state engine throughput.
 BASELINE.md records both; compare reference numbers like-for-like.
 
+r5 rows: `bnd_*` (LUMPY-style interchromosomal mate pairs through the
+BndRegistry), `multisample_*` (2 samples, independent truths),
+`cli_*` (the SHIPPED command on a 96k tiling: whole-phase and
+steady-state past the tunnel's program-load leg), and the inflate
+roofline block (achieved CPU-bandwidth vs the retain-pattern bound).
+An accuracy gate exits 3 (JSON still printed, `accuracy_degraded`
+set) below the concordance floors.
+
 Env knobs: SVT_BENCH_VARIANTS (default = SVT_BENCH_MIN_MEASURED, 9600),
 SVT_BENCH_DEPTH (30), SVT_BENCH_ORACLE_N (48), SVT_BENCH_CACHE
-(fixture dir).
+(fixture dir), SVT_BENCH_BND_EVENTS (1500), SVT_BENCH_MS_VARIANTS
+(2400), SVT_BENCH_CLI_VARIANTS (96000), SVT_BENCH_CONC_FLOOR (0.97),
+SVT_BENCH_BND_CONC_FLOOR (0.93), SVT_BENCH_TIMEOUT (900).
 """
 
 from __future__ import annotations
